@@ -2,7 +2,15 @@
 
 Per SURVEY.md §7: `--xla_force_host_platform_device_count=8` provides the
 distributed test substrate (sharding / psum equivalence) without TPU
-hardware. Must run before any `import jax` in the test process.
+hardware.
+
+Environment quirk: this image's sitecustomize imports jax at interpreter
+startup and forces the `axon` (tunneled TPU) platform, so jax has already
+snapshotted JAX_PLATFORMS before this conftest runs. Setting the env var is
+not enough — we must update jax's own config, which is still safe here
+because no backend has been initialized yet. Without this, every tiny test
+op round-trips through the TPU tunnel (and concurrent processes serialize
+on the single chip).
 """
 
 import os
@@ -14,3 +22,15 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 os.environ.setdefault("GEOESTIMATION_TPU_TEST", "1")
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+assert jax.default_backend() == "cpu", (
+    "tests must run on the virtual CPU mesh, not the tunneled TPU; "
+    f"got {jax.default_backend()}"
+)
+assert jax.device_count() == 8, (
+    f"expected 8 virtual CPU devices, got {jax.device_count()}"
+)
