@@ -1,0 +1,77 @@
+"""Batch inference CLI — surface parity with the reference.
+
+Reference: `python -m classification.inference --checkpoint ... --hparams
+... --image_dir ...` over `*.jpg/*.jpeg/*.png`, writing a CSV of
+(img_id, p_key, pred_class, pred_lat, pred_lng) rows, one per partitioning
+key including `hierarchy` (reference README.md:98-124). Flag names are kept
+where documented; `--gpu` is accepted for compatibility and ignored (the
+backend is the TPU/XLA default platform).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+
+def build_parser():
+    p = argparse.ArgumentParser(
+        description="GeoEstimation-TPU batch inference over an image dir"
+    )
+    p.add_argument("--checkpoint", required=True,
+                   help="checkpoint directory (orbax)")
+    p.add_argument("--hparams", default=None,
+                   help="optional explicit hparams.yaml (default: bundled "
+                        "with the checkpoint)")
+    p.add_argument("--image_dir", required=True)
+    p.add_argument("--output", default=None,
+                   help="output CSV path (default: stdout)")
+    p.add_argument("--batch_size", type=int, default=64)
+    p.add_argument("--num_workers", type=int, default=None,
+                   help="host decode threads")
+    p.add_argument("--crops", type=int, default=10, choices=[1, 5, 10],
+                   help="TTA crops per image")
+    p.add_argument("--precision", type=int, default=16, choices=[16, 32],
+                   help="16=bfloat16 backbone, 32=float32")
+    p.add_argument("--gpu", action="store_true",
+                   help="accepted for reference CLI compatibility; ignored "
+                        "(accelerator is chosen by JAX/XLA)")
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend (debug)")
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from geoestimation_tpu.eval.engine import InferenceEngine
+    from geoestimation_tpu.train.checkpoint import load_for_inference
+
+    config, state = load_for_inference(args.checkpoint,
+                                       hparams_path=args.hparams)
+    engine = InferenceEngine(
+        config,
+        state,
+        n_crops=args.crops,
+        dtype=jnp.bfloat16 if args.precision == 16 else jnp.float32,
+        search_dirs=[os.path.dirname(os.path.abspath(args.checkpoint)),
+                     args.checkpoint, os.getcwd()],
+    )
+    df = engine.predict_dir(args.image_dir, batch_size=args.batch_size,
+                            num_workers=args.num_workers)
+    if args.output:
+        os.makedirs(os.path.dirname(os.path.abspath(args.output)),
+                    exist_ok=True)
+        df.to_csv(args.output, index=False)
+        print(f"wrote {len(df)} rows to {args.output}")
+    else:
+        df.to_csv(sys.stdout, index=False)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,86 @@
+"""Evaluation CLI — regenerates the README-style accuracy tables.
+
+Reference: `python -m classification.test --checkpoint ... --image_dirs D1
+D2 --meta_files M1 M2 --precision {16,32} ...` where each meta CSV has
+required columns IMG_ID, LAT, LON; prints GCD threshold accuracies at
+{1, 25, 200, 750, 2500} km per partitioning and for the hierarchical f*
+prediction (reference README.md:136-187). This is the parity harness
+(SURVEY.md §4.3).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+
+def build_parser():
+    p = argparse.ArgumentParser(
+        description="GeoEstimation-TPU evaluation (GCD threshold accuracies)"
+    )
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--hparams", default=None)
+    p.add_argument("--image_dirs", nargs="+", required=True)
+    p.add_argument("--meta_files", nargs="+", required=True)
+    p.add_argument("--batch_size", type=int, default=64)
+    p.add_argument("--num_workers", type=int, default=None)
+    p.add_argument("--precision", type=int, default=16, choices=[16, 32])
+    p.add_argument("--crops", type=int, default=10, choices=[1, 5, 10])
+    p.add_argument("--json", dest="json_out", default=None,
+                   help="also dump results as JSON to this path")
+    p.add_argument("--gpu", action="store_true",
+                   help="accepted for reference CLI compatibility; ignored")
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend (debug)")
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    if len(args.image_dirs) != len(args.meta_files):
+        raise SystemExit("--image_dirs and --meta_files must pair up "
+                         "(reference README.md:153-156)")
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from geoestimation_tpu.data.image_folder import load_meta_csv
+    from geoestimation_tpu.eval.engine import (
+        InferenceEngine,
+        format_accuracy_table,
+    )
+    from geoestimation_tpu.train.checkpoint import load_for_inference
+
+    config, state = load_for_inference(args.checkpoint,
+                                       hparams_path=args.hparams)
+    engine = InferenceEngine(
+        config,
+        state,
+        n_crops=args.crops,
+        dtype=jnp.bfloat16 if args.precision == 16 else jnp.float32,
+        search_dirs=[os.path.dirname(os.path.abspath(args.checkpoint)),
+                     args.checkpoint, os.getcwd()],
+    )
+    all_results = {}
+    for image_dir, meta_file in zip(args.image_dirs, args.meta_files):
+        meta = load_meta_csv(meta_file)
+        results = engine.evaluate_dir(
+            image_dir, meta, batch_size=args.batch_size,
+            num_workers=args.num_workers,
+        )
+        name = os.path.basename(os.path.normpath(image_dir))
+        all_results[name] = results
+        print(format_accuracy_table(results, dataset_name=name))
+        missing = results.get("_n_images_without_meta")
+        if missing:
+            print(f"  ({missing} images had no meta row; excluded)")
+    if args.json_out:
+        with open(args.json_out, "w") as f:
+            json.dump(all_results, f, indent=2)
+    return all_results
+
+
+if __name__ == "__main__":
+    main()

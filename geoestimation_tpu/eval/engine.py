@@ -1,0 +1,194 @@
+"""Batched inference engine: images -> per-partitioning + f* predictions.
+
+This is the device half of the reference's `classification/inference.py` /
+`classification/test.py` call stack (SURVEY.md §4.2/4.3): one jitted
+function takes the uint8 host batch and returns predicted classes and
+coordinates for every partitioning key plus 'hierarchy'. The TTA crop axis
+is folded into batch; logits are averaged in log space over crops; all
+gathers/argmaxes run on device. Only tiny int/float vectors return to host.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+
+from ..geo import Hierarchy, load_partitionings
+from ..ingest import eval_pipeline
+from ..models import MultiPartitioningClassifier
+from .infer import HierarchyArrays, mean_tta_logits, predict_all
+from .metrics import DEFAULT_THRESHOLDS_KM, GcdAccumulator, gcd_threshold_counts
+
+
+def resolve_partitioning_paths(files: Sequence[str],
+                               search_dirs: Sequence[str]) -> list:
+    """Resolve config-relative partitioning CSV paths against search dirs
+    (cwd, checkpoint dir, repo root)."""
+    out = []
+    for f in files:
+        if os.path.isabs(f) and os.path.exists(f):
+            out.append(f)
+            continue
+        for d in ["", *search_dirs]:
+            cand = os.path.join(d, f) if d else f
+            if os.path.exists(cand):
+                out.append(cand)
+                break
+        else:
+            raise FileNotFoundError(
+                f"partitioning file {f!r} not found in {list(search_dirs)}"
+            )
+    return out
+
+
+class InferenceEngine:
+    def __init__(
+        self,
+        config,
+        state: dict,
+        partitionings=None,
+        n_crops: int = 10,
+        crop: int = 224,
+        dtype=jnp.bfloat16,
+        search_dirs: Sequence[str] = (),
+    ):
+        mp = config.model_params
+        if partitionings is None:
+            paths = resolve_partitioning_paths(
+                mp.partitionings.files, search_dirs
+            )
+            partitionings = load_partitionings(
+                paths, names=list(mp.partitionings.shortnames)
+            )
+        self.partitionings = partitionings
+        self.hierarchy = Hierarchy.build(partitionings)
+        self.harrays = HierarchyArrays.from_hierarchy(self.hierarchy)
+        self.n_crops = n_crops
+        self.crop = crop
+        self.model = MultiPartitioningClassifier(
+            n_classes=tuple(len(p) for p in partitionings),
+            arch=mp.arch,
+            dtype=dtype,
+        )
+        self.variables = {
+            "params": state["params"],
+            "batch_stats": state["batch_stats"],
+        }
+        self._forward = jax.jit(
+            functools.partial(self._forward_impl, n_crops=n_crops, crop=crop)
+        )
+
+    def _forward_impl(self, variables, images_u8, n_crops, crop):
+        x = eval_pipeline(images_u8, n_crops=n_crops, crop=crop,
+                          dtype=self.model.dtype)
+        logits = self.model.apply(variables, x, train=False)
+        logits = [mean_tta_logits(l, n_crops) for l in logits]
+        return predict_all(logits, self.harrays)
+
+    def predict_batch(self, images_u8: np.ndarray):
+        """uint8 (B, base, base, 3) -> {p_key: (cls, lat, lng)} numpy."""
+        preds = self._forward(self.variables, jnp.asarray(images_u8))
+        return jax.tree.map(np.asarray, preds)
+
+    # -- folder-level drivers ------------------------------------------------
+
+    def predict_dir(self, image_dir: str, batch_size: int = 64,
+                    num_workers: Optional[int] = None) -> pd.DataFrame:
+        """Reference inference.py output contract (README.md:118-124):
+        rows of (img_id, p_key, pred_class, pred_lat, pred_lng)."""
+        from ..data.image_folder import iter_image_folder
+
+        rows = []
+        for batch in iter_image_folder(image_dir, batch_size=batch_size,
+                                       num_workers=num_workers):
+            preds = self.predict_batch(batch.images)
+            for key, (cls, lat, lng) in preds.items():
+                for i, img_id in enumerate(batch.ids):
+                    if not batch.valid[i]:
+                        continue
+                    rows.append(
+                        (img_id, key, int(cls[i]), float(lat[i]),
+                         float(lng[i]))
+                    )
+        df = pd.DataFrame(
+            rows,
+            columns=["img_id", "p_key", "pred_class", "pred_lat", "pred_lng"],
+        )
+        return df.sort_values(["img_id", "p_key"]).reset_index(drop=True)
+
+    def evaluate_dir(
+        self,
+        image_dir: str,
+        meta: pd.DataFrame,
+        batch_size: int = 64,
+        thresholds_km=DEFAULT_THRESHOLDS_KM,
+        num_workers: Optional[int] = None,
+    ) -> dict:
+        """Reference test.py behavior (SURVEY.md §4.3): GCD threshold
+        accuracies per p_key against a meta CSV (IMG_ID, LAT, LON)."""
+        from ..data.image_folder import iter_image_folder
+
+        gt = {
+            str(r.IMG_ID): (float(r.LAT), float(r.LON))
+            for r in meta.itertuples()
+        }
+        accs = {}
+        n_missing = 0
+        for batch in iter_image_folder(image_dir, batch_size=batch_size,
+                                       num_workers=num_workers):
+            true_lat = np.zeros(len(batch.ids), np.float32)
+            true_lng = np.zeros(len(batch.ids), np.float32)
+            valid = np.array(batch.valid, copy=True)
+            for i, img_id in enumerate(batch.ids):
+                key = img_id
+                if key not in gt:
+                    key = os.path.splitext(img_id)[0]
+                if key in gt:
+                    true_lat[i], true_lng[i] = gt[key]
+                else:
+                    if valid[i]:
+                        n_missing += 1
+                    valid[i] = False
+            preds = self.predict_batch(batch.images)
+            for p_key, (cls, plat, plng) in preds.items():
+                acc = accs.setdefault(p_key, GcdAccumulator(thresholds_km))
+                counts, total = gcd_threshold_counts(
+                    jnp.asarray(plat), jnp.asarray(plng),
+                    jnp.asarray(true_lat), jnp.asarray(true_lng),
+                    thresholds_km, valid=jnp.asarray(valid),
+                )
+                acc.update(counts, total)
+        result = {k: a.result() for k, a in accs.items()}
+        if n_missing:
+            result["_n_images_without_meta"] = n_missing
+        return result
+
+
+def format_accuracy_table(results: dict, dataset_name: str = "") -> str:
+    """Render the README-style accuracy table (reference README.md:169-187)."""
+    keys = [k for k in results if not k.startswith("_")]
+    order = [k for k in ("coarse", "middle", "fine", "hierarchy") if k in keys]
+    order += [k for k in keys if k not in order]
+    lines = []
+    if dataset_name:
+        lines.append(f"== {dataset_name}")
+    header = None
+    for key in order:
+        accs = results[key]
+        if header is None:
+            ths = list(accs)
+            header = "p_key".ljust(12) + "".join(
+                f"{int(t)} km".rjust(10) for t in ths
+            )
+            lines.append(header)
+        lines.append(
+            key.ljust(12)
+            + "".join(f"{100 * v:10.1f}" for v in accs.values())
+        )
+    return "\n".join(lines)

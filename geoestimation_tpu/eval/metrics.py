@@ -75,15 +75,17 @@ class GcdAccumulator:
     """Host-side accumulator over batches of on-device counts."""
 
     def __init__(self, thresholds_km=DEFAULT_THRESHOLDS_KM):
+        import numpy as np
+
         self.thresholds_km = tuple(thresholds_km)
-        self.counts = jnp.zeros(len(self.thresholds_km), jnp.int64)
+        self.counts = np.zeros(len(self.thresholds_km), dtype="int64")
         self.total = 0
 
     def update(self, counts, total):
-        self.counts = self.counts + counts.astype(jnp.int64)
+        self.counts = self.counts + jax.device_get(counts).astype("int64")
         self.total = self.total + int(total)
 
     def result(self):
         denom = max(self.total, 1)
-        acc = jax.device_get(self.counts).astype(float) / denom
+        acc = self.counts.astype(float) / denom
         return dict(zip(self.thresholds_km, acc.tolist()))

@@ -1,0 +1,108 @@
+"""Host-side JPEG decode + geometry normalization.
+
+Design boundary (SURVEY.md §8 "Hard parts"): XLA has no JPEG op, so decode
+runs on host; *everything after decode* (crop geometry, normalization,
+dtype) is XLA-resident (`ingest/pipeline.py`). The host stage emits a
+static-shape uint8 tensor — (N, base_size, base_size, 3) — which is the
+whole host->device contract: one small uint8 transfer per batch, no float
+traffic over PCIe.
+
+Two host decode backends:
+  * `turbo`: the C++ extension in `ingest/cpp/` (libjpeg + bilinear
+    shorter-side resize + center crop in native threads). Used when built.
+  * `pil`: Pillow fallback, threaded (PIL's decode/resize release the GIL).
+
+Geometry matches torchvision eval semantics: resize shorter side to
+`resize_to` with bilinear+antialias, then center-crop `base_size` square.
+The reference's eval transform resized to 256 before 224-crops
+(SURVEY.md §3.1 dataset row); we center-crop to a 256 square on host so the
+device sees a static shape, and take the 224 crops on device.
+"""
+
+from __future__ import annotations
+
+import concurrent.futures as cf
+import io
+import os
+from typing import Iterable, Optional, Sequence
+
+import numpy as np
+
+try:
+    from PIL import Image
+except ImportError:  # pragma: no cover
+    Image = None
+
+from . import native
+
+DEFAULT_RESIZE = 256
+DEFAULT_BASE = 256
+IMAGENET_MEAN = (0.485, 0.456, 0.406)
+IMAGENET_STD = (0.229, 0.224, 0.225)
+
+
+def decode_pil(data: bytes, resize_to=DEFAULT_RESIZE, base_size=DEFAULT_BASE):
+    """bytes -> (base_size, base_size, 3) uint8. PIL reference path."""
+    img = Image.open(io.BytesIO(data))
+    img = img.convert("RGB")
+    w, h = img.size
+    scale = resize_to / min(w, h)
+    # Resize shorter side; never upscale-skip (keeps torchvision semantics).
+    nw, nh = max(int(round(w * scale)), resize_to), max(
+        int(round(h * scale)), resize_to
+    )
+    img = img.resize((nw, nh), Image.BILINEAR)
+    left = (nw - base_size) // 2
+    top = (nh - base_size) // 2
+    img = img.crop((left, top, left + base_size, top + base_size))
+    return np.asarray(img, dtype=np.uint8)
+
+
+def decode_batch(
+    blobs: Sequence[bytes],
+    resize_to=DEFAULT_RESIZE,
+    base_size=DEFAULT_BASE,
+    num_threads: Optional[int] = None,
+    backend: str = "auto",
+):
+    """Decode many JPEG byte strings -> (N, base, base, 3) uint8.
+
+    backend: 'auto' (native if built), 'turbo', or 'pil'.
+    Undecodable blobs yield a zero image and are flagged in the returned
+    `ok` mask (the reference's downloader tolerates rotten images,
+    README.md:192-194 — eval code must too).
+    """
+    n = len(blobs)
+    out = np.zeros((n, base_size, base_size, 3), dtype=np.uint8)
+    ok = np.zeros(n, dtype=bool)
+
+    if backend == "auto":
+        backend = "turbo" if native.available() else "pil"
+    if backend == "turbo":
+        return native.decode_batch(blobs, resize_to, base_size)
+
+    def work(i):
+        try:
+            out[i] = decode_pil(blobs[i], resize_to, base_size)
+            ok[i] = True
+        except Exception:
+            pass
+
+    workers = num_threads or min(16, (os.cpu_count() or 1) * 2)
+    if n == 1:
+        work(0)
+    else:
+        with cf.ThreadPoolExecutor(workers) as ex:
+            list(ex.map(work, range(n)))
+    return out, ok
+
+
+def read_files(paths: Iterable[str]):
+    blobs = []
+    for p in paths:
+        try:
+            with open(p, "rb") as f:
+                blobs.append(f.read())
+        except OSError:
+            blobs.append(b"")
+    return blobs

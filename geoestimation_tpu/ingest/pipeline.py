@@ -1,0 +1,109 @@
+"""XLA-resident image pipeline: crops, flips, normalization on device.
+
+Everything downstream of JPEG decode runs inside jit (BASELINE north star:
+"XLA-resident image ingest path fusing ... resize, center/ten-crop,
+ImageNet normalization"). The host hands the device a uint8
+(B, base, base, 3) tensor; these functions run fused into the model's
+first convolution by XLA, so the normalize/crop math costs ~zero extra HBM
+traffic.
+
+Crop semantics: ten-crop = 4 corners + center of the base image at
+`crop` resolution, plus the horizontal flips of all five — the torchvision
+TenCrop recipe the reference's eval used (SURVEY.md §3.1; crop count per
+BASELINE: ten-crop, kept configurable).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .decode import IMAGENET_MEAN, IMAGENET_STD
+
+
+def normalize(images, dtype=jnp.bfloat16):
+    """uint8 (..., H, W, 3) -> ImageNet-normalized `dtype` tensor."""
+    mean = jnp.asarray(IMAGENET_MEAN, jnp.float32) * 255.0
+    std = jnp.asarray(IMAGENET_STD, jnp.float32) * 255.0
+    x = images.astype(jnp.float32)
+    x = (x - mean) / std
+    return x.astype(dtype)
+
+
+def center_crop(images, crop=224):
+    """(B, H, W, 3) -> (B, crop, crop, 3) center crop."""
+    h, w = images.shape[-3], images.shape[-2]
+    top = (h - crop) // 2
+    left = (w - crop) // 2
+    return images[..., top:top + crop, left:left + crop, :]
+
+
+def five_crop(images, crop=224):
+    """(B, H, W, 3) -> (B, 5, crop, crop, 3): 4 corners + center."""
+    h, w = images.shape[-3], images.shape[-2]
+    tl = images[..., :crop, :crop, :]
+    tr = images[..., :crop, w - crop:, :]
+    bl = images[..., h - crop:, :crop, :]
+    br = images[..., h - crop:, w - crop:, :]
+    cc = center_crop(images, crop)
+    return jnp.stack([tl, tr, bl, br, cc], axis=-4)
+
+
+def ten_crop(images, crop=224):
+    """(B, H, W, 3) -> (B, 10, crop, crop, 3): five-crop + h-flips."""
+    five = five_crop(images, crop)
+    flipped = jnp.flip(five, axis=-2)
+    return jnp.concatenate([five, flipped], axis=-4)
+
+
+def make_crops(images, n_crops=10, crop=224):
+    """Dispatch on crop count: 1 (center), 5, or 10. Returns
+    (B, n_crops, crop, crop, 3)."""
+    if n_crops == 1:
+        return center_crop(images, crop)[:, None]
+    if n_crops == 5:
+        return five_crop(images, crop)
+    if n_crops == 10:
+        return ten_crop(images, crop)
+    raise ValueError(f"n_crops must be 1, 5 or 10; got {n_crops}")
+
+
+def eval_pipeline(images_u8, n_crops=10, crop=224, dtype=jnp.bfloat16):
+    """uint8 (B, base, base, 3) -> normalized (B*n_crops, crop, crop, 3).
+
+    The crop axis folds into batch so the backbone sees one large batch —
+    the ten-crop TTA axis shards across the data mesh like any other batch
+    element (SURVEY.md §5 long-context note).
+    """
+    crops = make_crops(images_u8, n_crops, crop)
+    crops = crops.reshape((-1,) + crops.shape[-3:])
+    return normalize(crops, dtype)
+
+
+def random_crop_flip(rng, images_u8, crop=224, flip=True):
+    """Training augmentation: random crop + horizontal flip, on device.
+
+    A batched random crop with static output shape: one crop offset per
+    image via dynamic_slice under vmap; flips via jnp.where on a bernoulli
+    mask. (The reference trained with torchvision RandomResizedCrop-style
+    augmentation in loader workers [H]; here augmentation is on-device so
+    host workers only decode.)
+    """
+    b, h, w, _ = images_u8.shape
+    k1, k2, k3 = jax.random.split(rng, 3)
+    tops = jax.random.randint(k1, (b,), 0, h - crop + 1)
+    lefts = jax.random.randint(k2, (b,), 0, w - crop + 1)
+
+    def one(img, top, left):
+        return jax.lax.dynamic_slice(img, (top, left, 0), (crop, crop, 3))
+
+    out = jax.vmap(one)(images_u8, tops, lefts)
+    if flip:
+        do = jax.random.bernoulli(k3, 0.5, (b,))
+        out = jnp.where(do[:, None, None, None], jnp.flip(out, axis=2), out)
+    return out
+
+
+def train_pipeline(rng, images_u8, crop=224, dtype=jnp.bfloat16):
+    """uint8 (B, base, base, 3) -> augmented normalized (B, crop, crop, 3)."""
+    return normalize(random_crop_flip(rng, images_u8, crop), dtype)

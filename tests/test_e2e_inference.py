@@ -1,0 +1,157 @@
+"""End-to-end slice (BASELINE config 1): single/ten-crop inference over an
+image folder through the real CLIs, CPU-runnable, random weights.
+
+Builds a tiny world: synthetic partitionings from clustered coordinates, a
+random-init checkpoint, JPEG images on disk, a meta CSV — then drives
+`classification.inference` and `classification.test` mains and checks the
+documented output contracts (README.md:118-124 CSV columns; README.md:167
+metric table)."""
+
+import io
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+from PIL import Image
+
+from geoestimation_tpu.geo import create_cells
+from geoestimation_tpu.train.checkpoint import save_single
+from geoestimation_tpu.train.init import init_model_state
+from geoestimation_tpu.utils.config import Config
+
+RNG = np.random.default_rng(11)
+
+
+@pytest.fixture(scope="module")
+def world(tmp_path_factory):
+    root = tmp_path_factory.mktemp("world")
+    # partitionings
+    lat = np.concatenate([48.85 + RNG.normal(0, .4, 2500),
+                          40.7 + RNG.normal(0, .4, 2500)])
+    lng = np.concatenate([2.35 + RNG.normal(0, .4, 2500),
+                          -74.0 + RNG.normal(0, .4, 2500)])
+    cells_dir = root / "resources" / "s2_cells"
+    files = []
+    for img_max, name, fn in [(3000, "coarse", "cells_50_5000.csv"),
+                              (1000, "middle", "cells_50_2000.csv"),
+                              (400, "fine", "cells_50_1000.csv")]:
+        p = create_cells(lat, lng, img_min=10, img_max=img_max,
+                         name=name).partitioning
+        path = str(cells_dir / fn)
+        p.to_csv(path)
+        files.append(path)
+
+    config = Config()
+    config.model_params.partitionings.files = files
+
+    from geoestimation_tpu.geo import load_partitionings
+    parts = load_partitionings(files, names=["coarse", "middle", "fine"])
+    _, state = init_model_state(config, parts, seed=0, image_size=64)
+    ckpt_dir = str(root / "models" / "test_ckpt")
+    save_single(ckpt_dir, state, config=config, step=0,
+                metrics={"val_loss": 1.0})
+
+    # images + meta
+    img_dir = root / "images" / "im2gps_tiny"
+    img_dir.mkdir(parents=True)
+    meta_rows = []
+    for i in range(7):
+        arr = RNG.integers(0, 255, (300 + 10 * i, 260, 3), dtype=np.uint8)
+        img_id = f"img_{i:03d}.jpg"
+        Image.fromarray(arr).save(img_dir / img_id, quality=90)
+        meta_rows.append((img_id, 48.85 + 0.01 * i, 2.35))
+    pd.DataFrame(meta_rows, columns=["IMG_ID", "LAT", "LON"]).to_csv(
+        root / "im2gps_tiny_meta.csv", index=False
+    )
+    return {
+        "root": root,
+        "ckpt": ckpt_dir,
+        "img_dir": str(img_dir),
+        "meta": str(root / "im2gps_tiny_meta.csv"),
+        "n_images": 7,
+        "parts": parts,
+    }
+
+
+class TestInferenceCLI:
+    def test_csv_contract(self, world, tmp_path):
+        from classification.inference import main
+
+        out = str(tmp_path / "preds.csv")
+        main([
+            "--checkpoint", world["ckpt"],
+            "--image_dir", world["img_dir"],
+            "--output", out,
+            "--batch_size", "4",
+            "--crops", "1",
+        ])
+        df = pd.read_csv(out)
+        assert list(df.columns) == ["img_id", "p_key", "pred_class",
+                                    "pred_lat", "pred_lng"]
+        assert set(df.p_key) == {"coarse", "middle", "fine", "hierarchy"}
+        assert len(df) == world["n_images"] * 4
+        # every predicted lat/lng must be a partitioning cell mean
+        parts = world["parts"]
+        for key, p in zip(("coarse", "middle", "fine"), parts):
+            sub = df[df.p_key == key]
+            assert sub.pred_class.between(0, len(p) - 1).all()
+            np.testing.assert_allclose(
+                sub.pred_lat.values,
+                p.lat[sub.pred_class.values], rtol=0, atol=1e-4,
+            )
+        # hierarchy rows use fine-partitioning coordinates
+        sub = df[df.p_key == "hierarchy"]
+        fine = parts[-1]
+        np.testing.assert_allclose(
+            sub.pred_lat.values, fine.lat[sub.pred_class.values],
+            rtol=0, atol=1e-4,
+        )
+
+    def test_ten_crop_runs(self, world, tmp_path):
+        from classification.inference import main
+
+        out = str(tmp_path / "preds10.csv")
+        main([
+            "--checkpoint", world["ckpt"],
+            "--image_dir", world["img_dir"],
+            "--output", out,
+            "--batch_size", "4",
+            "--crops", "10",
+        ])
+        df = pd.read_csv(out)
+        assert len(df) == world["n_images"] * 4
+
+
+class TestTestCLI:
+    def test_accuracy_table(self, world, tmp_path, capsys):
+        from classification.test import main
+
+        json_out = str(tmp_path / "results.json")
+        results = main([
+            "--checkpoint", world["ckpt"],
+            "--image_dirs", world["img_dir"],
+            "--meta_files", world["meta"],
+            "--batch_size", "4",
+            "--crops", "1",
+            "--json", json_out,
+        ])
+        printed = capsys.readouterr().out
+        assert "hierarchy" in printed and "2500 km" in printed
+        name = os.path.basename(world["img_dir"])
+        res = results[name]
+        assert set(res) >= {"coarse", "middle", "fine", "hierarchy"}
+        for accs in (res[k] for k in ("coarse", "hierarchy")):
+            vals = list(accs.values())
+            assert all(0.0 <= v <= 1.0 for v in vals)
+            # monotone in threshold
+            assert vals == sorted(vals)
+        assert os.path.exists(json_out)
+
+    def test_missing_meta_column_rejected(self, world, tmp_path):
+        from geoestimation_tpu.data.image_folder import load_meta_csv
+
+        bad = tmp_path / "bad.csv"
+        bad.write_text("IMG_ID,LATITUDE\nx.jpg,1.0\n")
+        with pytest.raises(ValueError, match="LAT"):
+            load_meta_csv(str(bad))
