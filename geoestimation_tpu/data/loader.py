@@ -1,0 +1,179 @@
+"""Training/validation batch loader: shards -> decoded uint8 batches.
+
+Pipeline (SURVEY.md §4.1 hot loop, re-drawn for TPU):
+
+  msgpack shards (host) -> decode threads (C++/PIL, host) ->
+  bounded prefetch queue -> uint8 (B, base, base, 3) + int32 labels ->
+  device (augment/normalize on device inside the jitted train step)
+
+Labels come either from a label CSV (IMG_ID -> one class per partitioning,
+the output of `assign_classes`) or directly from per-record lat/lng via the
+partitionings. Unlabelable records are dropped (reference behavior:
+`filter_by_downloaded_images.py` kept label rows and shards consistent;
+dropping at load time subsumes that).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from dataclasses import dataclass
+from typing import Iterator, Optional, Sequence
+
+import numpy as np
+import pandas as pd
+
+from ..geo import assign_classes
+from ..ingest import decode
+from . import shards
+
+
+@dataclass
+class TrainBatch:
+    images: np.ndarray    # (B, base, base, 3) uint8
+    labels: np.ndarray    # (P, B) int32, -1 = invalid
+    ids: Optional[list] = None
+    latlng: Optional[np.ndarray] = None  # (B, 2) float32 when known
+
+
+def load_label_csv(path: str, shortnames: Sequence[str]) -> dict:
+    """Label CSV: IMG_ID plus one column per partitioning shortname (the
+    `assign_classes` output format). Returns {img_id: (P,) int32}."""
+    df = pd.read_csv(path)
+    cols = {c.lower(): c for c in df.columns}
+    if "img_id" not in cols:
+        raise ValueError(f"label CSV {path!r} needs an IMG_ID column")
+    label_cols = []
+    for name in shortnames:
+        if name.lower() not in cols:
+            raise ValueError(
+                f"label CSV {path!r} missing column {name!r} "
+                f"(one per partitioning shortname)"
+            )
+        label_cols.append(cols[name.lower()])
+    ids = df[cols["img_id"]].astype(str).values
+    labels = df[label_cols].to_numpy(dtype=np.int32)
+    return dict(zip(ids, map(tuple, labels)))
+
+
+class ShardBatcher:
+    """Background-threaded shard reader + decoder producing TrainBatch."""
+
+    def __init__(
+        self,
+        shard_patterns: Sequence[str],
+        batch_size: int,
+        partitionings=None,
+        label_map: Optional[dict] = None,
+        base_size: int = 256,
+        resize_to: int = 256,
+        shuffle: bool = True,
+        seed: int = 0,
+        repeat: bool = True,
+        num_workers: Optional[int] = None,
+        prefetch: int = 4,
+        drop_unlabeled: bool = True,
+    ):
+        if partitionings is None and label_map is None:
+            raise ValueError("need partitionings or label_map for labels")
+        self.patterns = list(shard_patterns)
+        self.batch_size = batch_size
+        self.partitionings = partitionings
+        self.label_map = label_map
+        self.base_size = base_size
+        self.resize_to = resize_to
+        self.shuffle = shuffle
+        self.seed = seed
+        self.repeat = repeat
+        self.num_workers = num_workers
+        self.prefetch = prefetch
+        self.drop_unlabeled = drop_unlabeled
+        self.n_partitionings = (
+            len(partitionings) if partitionings is not None
+            else len(next(iter(label_map.values())))
+        )
+
+    def _labels_for(self, recs):
+        p = self.n_partitionings
+        labels = np.full((p, len(recs)), -1, dtype=np.int32)
+        latlng = np.full((len(recs), 2), np.nan, dtype=np.float32)
+        if self.label_map is not None:
+            for i, r in enumerate(recs):
+                got = self.label_map.get(str(r.get("id")))
+                if got is not None:
+                    labels[:, i] = got
+                if "lat" in r:
+                    latlng[i] = (r["lat"], r["lng"])
+        else:
+            has = [i for i, r in enumerate(recs) if "lat" in r]
+            if has:
+                lat = np.array([recs[i]["lat"] for i in has])
+                lng = np.array([recs[i]["lng"] for i in has])
+                lab = assign_classes(lat, lng, self.partitionings)
+                labels[:, has] = lab
+                latlng[has, 0] = lat
+                latlng[has, 1] = lng
+        return labels, latlng
+
+    def _produce(self, q):
+        try:
+            pending = []
+            for rec in shards.iter_records(
+                self.patterns, shuffle=self.shuffle, seed=self.seed,
+                repeat=self.repeat,
+            ):
+                pending.append(rec)
+                if len(pending) < self.batch_size:
+                    continue
+                batch = self._make_batch(pending)
+                pending = []
+                if batch is not None:
+                    q.put(batch)
+            if pending:
+                batch = self._make_batch(pending, pad_to=self.batch_size)
+                if batch is not None:
+                    q.put(batch)
+        finally:
+            q.put(None)
+
+    def _make_batch(self, recs, pad_to=None):
+        images, ok = decode.decode_batch(
+            [r["image"] for r in recs],
+            resize_to=self.resize_to,
+            base_size=self.base_size,
+            num_threads=self.num_workers,
+        )
+        labels, latlng = self._labels_for(recs)
+        labels[:, ~ok] = -1
+        if self.drop_unlabeled:
+            keep = ok & (labels >= 0).all(axis=0)
+            if not keep.any():
+                return None
+            images, labels, latlng = images[keep], labels[:, keep], \
+                latlng[keep]
+            recs = [r for r, k in zip(recs, keep) if k]
+        n = images.shape[0]
+        size = pad_to or self.batch_size
+        if n < size:
+            reps = -(-size // n)
+            idx = np.tile(np.arange(n), reps)[:size]
+            images, labels, latlng = images[idx], labels[:, idx], latlng[idx]
+            recs = [recs[i] for i in idx]
+        elif n > size:
+            images, labels, latlng = images[:size], labels[:, :size], \
+                latlng[:size]
+            recs = recs[:size]
+        return TrainBatch(
+            images=images, labels=labels,
+            ids=[str(r.get("id")) for r in recs], latlng=latlng,
+        )
+
+    def __iter__(self) -> Iterator[TrainBatch]:
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        t = threading.Thread(target=self._produce, args=(q,), daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is None:
+                return
+            yield item

@@ -1,0 +1,128 @@
+"""MessagePack training shards — format parity with the reference.
+
+The reference packed downloaded Flickr images into "MessagePack chunk
+files ... similar to multiple TFRecord files for fast data loading"
+(reference README.md:195). Each shard is a stream of msgpack-encoded
+records; a record is a map with (at least) an id and the raw JPEG bytes.
+We write `{"id": str, "image": bytes, "lat": float, "lng": float}` and read
+tolerantly (historical readers used keys like `_id`/`image`), so shards
+produced by the original tooling remain loadable.
+
+Reading is streaming and cheap: msgpack-C unpacks straight from a buffered
+file; shard order and an in-shard shuffle buffer provide training-time
+randomness without a global index.
+"""
+
+from __future__ import annotations
+
+import glob
+import io
+import os
+import random
+from typing import Iterable, Iterator, Optional, Sequence
+
+import msgpack
+
+ID_KEYS = ("id", "_id", "img_id", "image_id")
+IMAGE_KEYS = ("image", "img", "jpeg", "data")
+LAT_KEYS = ("lat", "latitude")
+LNG_KEYS = ("lng", "lon", "longitude")
+
+
+def _first(record: dict, keys):
+    for k in keys:
+        if k in record:
+            return record[k]
+        kb = k.encode() if isinstance(k, str) else k
+        if kb in record:
+            return record[kb]
+    return None
+
+
+def normalize_record(raw: dict) -> Optional[dict]:
+    """Map a raw msgpack record to {id, image, lat?, lng?}; None if it has
+    no image payload."""
+    image = _first(raw, IMAGE_KEYS)
+    if image is None:
+        return None
+    rid = _first(raw, ID_KEYS)
+    if isinstance(rid, bytes):
+        rid = rid.decode("utf-8", "replace")
+    out = {"id": rid, "image": image}
+    lat = _first(raw, LAT_KEYS)
+    lng = _first(raw, LNG_KEYS)
+    if lat is not None and lng is not None:
+        out["lat"] = float(lat)
+        out["lng"] = float(lng)
+    return out
+
+
+def write_shard(records: Iterable[dict], path: str):
+    """Write records ({'id', 'image', optional 'lat'/'lng'}) to one shard."""
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    packer = msgpack.Packer(use_bin_type=True)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        for r in records:
+            f.write(packer.pack(r))
+    os.replace(tmp, path)
+
+
+def iter_shard(path: str) -> Iterator[dict]:
+    with open(path, "rb") as f:
+        unpacker = msgpack.Unpacker(f, raw=True, max_buffer_size=0)
+        for raw in unpacker:
+            rec = normalize_record(raw)
+            if rec is not None:
+                yield rec
+
+
+def expand_shard_patterns(patterns: Sequence[str]) -> list:
+    paths = []
+    for pat in patterns:
+        hits = sorted(glob.glob(pat))
+        paths.extend(hits if hits else ([pat] if os.path.exists(pat) else []))
+    return paths
+
+
+def iter_records(
+    patterns: Sequence[str],
+    shuffle: bool = False,
+    seed: int = 0,
+    shuffle_buffer: int = 2048,
+    repeat: bool = False,
+) -> Iterator[dict]:
+    """Stream records across shards; optional shard-order shuffle + in-
+    stream reservoir-style shuffle buffer (the TPU-native replacement for
+    the reference's torch DataLoader shuffling over an IterableDataset)."""
+    paths = expand_shard_patterns(patterns)
+    if not paths:
+        raise FileNotFoundError(f"no shards match {list(patterns)!r}")
+    rng = random.Random(seed)
+    epoch = 0
+    while True:
+        order = list(paths)
+        if shuffle:
+            rng.shuffle(order)
+        if shuffle:
+            buf = []
+            for path in order:
+                for rec in iter_shard(path):
+                    if len(buf) < shuffle_buffer:
+                        buf.append(rec)
+                        continue
+                    j = rng.randrange(shuffle_buffer)
+                    buf[j], rec = rec, buf[j]
+                    yield rec
+            rng.shuffle(buf)
+            yield from buf
+        else:
+            for path in order:
+                yield from iter_shard(path)
+        epoch += 1
+        if not repeat:
+            return
+
+
+def count_records(patterns: Sequence[str]) -> int:
+    return sum(1 for _ in iter_records(patterns))

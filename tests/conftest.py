@@ -34,3 +34,26 @@ assert jax.default_backend() == "cpu", (
 assert jax.device_count() == 8, (
     f"expected 8 virtual CPU devices, got {jax.device_count()}"
 )
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="session")
+def geo_parts():
+    """Three partitionings (coarse/middle/fine) covering a patch around
+    (48-49N, 2-3E) plus background noise — shared by loader/train tests."""
+    from geoestimation_tpu.geo import create_cells
+
+    rng = np.random.default_rng(123)
+    lat = np.concatenate([rng.uniform(47.5, 49.5, 4000),
+                          rng.uniform(-60, 70, 1000)])
+    lng = np.concatenate([rng.uniform(1.5, 3.5, 4000),
+                          rng.uniform(-180, 180, 1000)])
+    out = []
+    for img_max, name in [(2500, "coarse"), (900, "middle"), (350, "fine")]:
+        out.append(
+            create_cells(lat, lng, img_min=5, img_max=img_max,
+                         name=name).partitioning
+        )
+    return out

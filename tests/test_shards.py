@@ -1,0 +1,105 @@
+"""Msgpack shard round-trip + loader tests (SURVEY.md §7)."""
+
+import io
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from geoestimation_tpu.data import shards
+from geoestimation_tpu.data.loader import ShardBatcher, load_label_csv
+
+
+def jpeg_bytes(seed, w=300, h=280):
+    rng = np.random.default_rng(seed)
+    arr = rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format="JPEG", quality=85)
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def shard_dir(tmp_path_factory):
+    root = tmp_path_factory.mktemp("shards")
+    n = 0
+    for s in range(3):
+        recs = []
+        for i in range(20):
+            recs.append({
+                "id": f"img_{s}_{i}",
+                "image": jpeg_bytes(n),
+                "lat": 48.0 + 0.01 * n,
+                "lng": 2.0 + 0.01 * n,
+            })
+            n += 1
+        shards.write_shard(recs, str(root / f"shard_{s:05d}.msgpack"))
+    return str(root), n
+
+
+class TestShards:
+    def test_roundtrip(self, shard_dir):
+        root, n = shard_dir
+        recs = list(shards.iter_records([f"{root}/*.msgpack"]))
+        assert len(recs) == n
+        assert all(isinstance(r["image"], bytes) for r in recs)
+        assert recs[0]["id"] == "img_0_0"
+        assert abs(recs[0]["lat"] - 48.0) < 1e-9
+
+    def test_count(self, shard_dir):
+        root, n = shard_dir
+        assert shards.count_records([f"{root}/*.msgpack"]) == n
+
+    def test_shuffle_changes_order_but_not_set(self, shard_dir):
+        root, n = shard_dir
+        a = [r["id"] for r in shards.iter_records([f"{root}/*.msgpack"],
+                                                  shuffle=True, seed=1,
+                                                  shuffle_buffer=8)]
+        b = [r["id"] for r in shards.iter_records([f"{root}/*.msgpack"])]
+        assert a != b
+        assert sorted(a) == sorted(b)
+
+    def test_tolerant_keys(self, tmp_path):
+        # historical-style records with _id / latitude keys
+        path = str(tmp_path / "legacy.msgpack")
+        import msgpack
+
+        with open(path, "wb") as f:
+            f.write(msgpack.packb(
+                {b"_id": b"x1", b"image": jpeg_bytes(99),
+                 b"latitude": 1.5, b"longitude": 2.5},
+            ))
+            f.write(msgpack.packb({b"junk": b"no image"}))
+        recs = list(shards.iter_records([path]))
+        assert len(recs) == 1
+        assert recs[0]["id"] == "x1"
+        assert recs[0]["lat"] == 1.5
+
+    def test_missing_pattern_raises(self):
+        with pytest.raises(FileNotFoundError):
+            list(shards.iter_records(["/nonexistent/*.msgpack"]))
+
+
+class TestShardBatcher:
+    def test_batches_from_latlng(self, shard_dir, geo_parts):
+        root, n = shard_dir
+        b = ShardBatcher(
+            [f"{root}/*.msgpack"], batch_size=16,
+            partitionings=geo_parts, shuffle=False, repeat=False,
+        )
+        batches = list(b)
+        assert len(batches) == 4  # 60 records -> 3x16 + padded 12
+        for tb in batches:
+            assert tb.images.shape == (16, 256, 256, 3)
+            assert tb.labels.shape == (len(geo_parts), 16)
+            assert (tb.labels >= 0).all()  # all records in-cells here
+
+    def test_label_csv_loader(self, tmp_path):
+        path = tmp_path / "labels.csv"
+        path.write_text(
+            "IMG_ID,coarse,middle,fine\na.jpg,0,1,2\nb.jpg,3,4,5\n"
+        )
+        m = load_label_csv(str(path), ["coarse", "middle", "fine"])
+        assert m["a.jpg"] == (0, 1, 2)
+        assert m["b.jpg"] == (3, 4, 5)
+        with pytest.raises(ValueError, match="missing column"):
+            load_label_csv(str(path), ["coarse", "nope"])

@@ -1,0 +1,186 @@
+"""Training-step tests: overfit smoke, sharding equivalence, optimizer
+schedule (SURVEY.md §7: "pjit sharding, psum grad equivalence vs
+single-device")."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from geoestimation_tpu.models import MultiPartitioningClassifier
+from geoestimation_tpu.parallel.mesh import make_mesh
+from geoestimation_tpu.train.optim import build_optimizer, multistep_schedule
+from geoestimation_tpu.train.step import (
+    create_train_state,
+    make_jitted_eval_step,
+    make_jitted_train_step,
+    train_step,
+)
+from geoestimation_tpu.utils.config import LRScheduleConfig, OptimizerConfig
+
+N_CLASSES = (3, 5, 9)
+BATCH, SIZE, CROP = 8, 40, 32
+
+
+def make_state(tx=None, seed=0, dtype=jnp.bfloat16):
+    model = MultiPartitioningClassifier(n_classes=N_CLASSES, arch="resnet50",
+                                        dtype=dtype)
+    variables = model.init(
+        jax.random.PRNGKey(seed), jnp.zeros((1, CROP, CROP, 3)), train=False
+    )
+    if tx is None:
+        import optax
+        tx = optax.sgd(0.05, momentum=0.9)
+    return model, create_train_state(model, variables, tx)
+
+
+def make_batch(seed=0):
+    rng = np.random.default_rng(seed)
+    images = rng.integers(0, 255, (BATCH, SIZE, SIZE, 3), dtype=np.uint8)
+    labels = np.stack([rng.integers(0, n, BATCH) for n in N_CLASSES]) \
+        .astype(np.int32)
+    return jnp.asarray(images), jnp.asarray(labels)
+
+
+class TestTrainStep:
+    def test_loss_decreases_overfit(self):
+        # Deterministic input (augment=False) so SGD can overfit 8 samples.
+        _, state = make_state()
+        images, labels = make_batch()
+        rng = jax.random.PRNGKey(0)
+        step = jax.jit(
+            lambda s, i, l, r: train_step(s, i, l, r, crop=CROP,
+                                          augment=False)
+        )
+        losses = []
+        for _ in range(25):
+            state, metrics = step(state, images, labels, rng)
+            losses.append(float(metrics["loss"]))
+        assert losses[-1] < losses[0] * 0.5, losses
+
+    def test_metrics_content(self):
+        _, state = make_state()
+        images, labels = make_batch()
+        state, metrics = jax.jit(
+            lambda s, i, l, r: train_step(s, i, l, r, crop=CROP)
+        )(state, images, labels, jax.random.PRNGKey(0))
+        assert set(metrics) == {"loss", "loss_head0", "loss_head1",
+                                "loss_head2", "n_valid"}
+        assert int(metrics["n_valid"]) == BATCH
+        assert int(state.step) == 1
+
+    def test_sharded_matches_single_device(self):
+        # The decisive distributed test: the same step over the 8-device
+        # data mesh must produce the same updated params as single-device
+        # execution. Run in fp32 so the only difference is cross-shard
+        # reduction order (in bf16, BN batch statistics add ~1e-3 noise
+        # that says nothing about the sharding being correct).
+        layout = make_mesh()  # 8 virtual CPU devices on data axis
+        assert layout.n_data == 8
+
+        _, state_a = make_state(dtype=jnp.float32)
+        _, state_b = make_state(dtype=jnp.float32)
+        images, labels = make_batch()
+        rng = jax.random.PRNGKey(1)
+
+        single = jax.jit(
+            lambda s, i, l, r: train_step(s, i, l, r, crop=CROP,
+                                          dtype=jnp.float32)
+        )
+        state_a, metrics_a = single(state_a, images, labels, rng)
+
+        sharded = make_jitted_train_step(layout, crop=CROP,
+                                         dtype=jnp.float32)
+        im_s = jax.device_put(images, layout.batch())
+        lb_s = jax.device_put(labels, layout.labels())
+        rng_s = jax.device_put(rng, layout.replicated())
+        state_b, metrics_b = sharded(state_b, im_s, lb_s, rng_s)
+
+        np.testing.assert_allclose(
+            float(metrics_a["loss"]), float(metrics_b["loss"]), rtol=1e-5
+        )
+        la = jax.tree.leaves(state_a.params)
+        lb = jax.tree.leaves(state_b.params)
+        for a, b in zip(la, lb):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-5)
+
+    def test_eval_step(self):
+        layout = make_mesh()
+        _, state = make_state()
+        images, labels = make_batch()
+        eval_fn = make_jitted_eval_step(layout, crop=CROP)
+        metrics, logits = eval_fn(
+            state,
+            jax.device_put(images, layout.batch()),
+            jax.device_put(labels, layout.labels()),
+        )
+        assert np.isfinite(float(metrics["val_loss"]))
+        assert len(logits) == 3
+        assert logits[0].shape == (BATCH, N_CLASSES[0])
+
+    def test_invalid_labels_in_step(self):
+        _, state = make_state()
+        images, labels = make_batch()
+        labels = labels.at[:, 0].set(-1)
+        _, metrics = jax.jit(
+            lambda s, i, l, r: train_step(s, i, l, r, crop=CROP)
+        )(state, images, labels, jax.random.PRNGKey(0))
+        assert int(metrics["n_valid"]) == BATCH - 1
+        assert np.isfinite(float(metrics["loss"]))
+
+
+class TestOptim:
+    def test_multistep_schedule(self):
+        sched = multistep_schedule(1.0, [2, 4], 0.1, steps_per_epoch=10)
+        assert float(sched(0)) == pytest.approx(1.0)
+        assert float(sched(19)) == pytest.approx(1.0)
+        assert float(sched(20)) == pytest.approx(0.1)
+        assert float(sched(39)) == pytest.approx(0.1)
+        assert float(sched(40)) == pytest.approx(0.01)
+
+    def test_warmup(self):
+        sched = multistep_schedule(1.0, [2], 0.1, steps_per_epoch=10,
+                                   warmup_epochs=1.0)
+        assert float(sched(0)) == pytest.approx(0.0)
+        assert float(sched(5)) == pytest.approx(0.5)
+        assert float(sched(10)) == pytest.approx(1.0)
+        assert float(sched(25)) == pytest.approx(0.1)
+
+    def test_build_optimizer_sgd(self):
+        tx, sched = build_optimizer(
+            OptimizerConfig(lr=0.1, weight_decay=1e-4),
+            LRScheduleConfig(milestones=[1], gamma=0.5),
+            steps_per_epoch=5,
+        )
+        params = {"w": jnp.ones((3,))}
+        opt_state = tx.init(params)
+        grads = {"w": jnp.ones((3,))}
+        updates, _ = tx.update(grads, opt_state, params)
+        assert jax.tree.leaves(updates)[0].shape == (3,)
+
+
+class TestMesh:
+    def test_mesh_shapes(self):
+        layout = make_mesh()
+        assert layout.n_data == 8 and layout.n_model == 1
+        layout2 = make_mesh(4, 2)
+        assert layout2.n_data == 4 and layout2.n_model == 2
+
+    def test_bad_shape_raises(self):
+        with pytest.raises(ValueError):
+            make_mesh(3, 2)
+
+    def test_head_sharding_assignment(self):
+        layout = make_mesh(4, 2)
+        _, state = make_state()
+        tree = layout.params(state.params)
+        flat = jax.tree_util.tree_flatten_with_path(tree)[0]
+        head_kernel = [s for path, s in flat
+                       if "fused_head" in str(path) and "kernel" in str(path)]
+        assert head_kernel
+        assert "model" in str(head_kernel[0].spec)
+        # everything else replicated
+        other = [s for path, s in flat if "fused_head" not in str(path)]
+        assert all(s.spec == () or all(e is None for e in s.spec)
+                   for s in other)
