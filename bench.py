@@ -1,0 +1,95 @@
+"""Benchmark: ten-crop inference images/sec/chip for the flagship model.
+
+Metric (BASELINE.json): "ten-crop images/sec/chip (ResNet50)". Target:
+>= 10k ten-crop images/sec on a v5e-8, i.e. >= 1250 per chip; vs_baseline
+is measured-per-chip / 1250.
+
+Measures the full device-side path: uint8 (B, 256, 256, 3) -> XLA ten-crop
++ normalize -> ResNet50 bf16 -> 3 heads (real class counts) -> TTA fold ->
+hierarchical f* argmax + lat/lng gather. Host ingest is excluded by design:
+the pipeline overlaps host decode with device compute, and the chip is the
+bottleneck at speed-of-light.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    # Persistent compile cache: repeat bench runs skip the ~2 min compile.
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+    import jax.numpy as jnp
+
+    from __graft_entry__ import REAL_CLASS_COUNTS, _synthetic_harrays
+    from geoestimation_tpu.eval.infer import (
+        mean_tta_logits,
+        predict_hierarchical,
+    )
+    from geoestimation_tpu.ingest.pipeline import eval_pipeline
+    from geoestimation_tpu.models import MultiPartitioningClassifier
+
+    batch = int(os.environ.get("BENCH_BATCH", "64"))
+    iters = int(os.environ.get("BENCH_ITERS", "30"))
+    n_crops = 10
+
+    model = MultiPartitioningClassifier(
+        n_classes=REAL_CLASS_COUNTS, arch="resnet50", dtype=jnp.bfloat16
+    )
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 224, 224, 3), jnp.float32),
+        train=False,
+    )
+    harrays = _synthetic_harrays(REAL_CLASS_COUNTS)
+
+    @jax.jit
+    def forward(variables, images_u8):
+        x = eval_pipeline(images_u8, n_crops=n_crops, crop=224,
+                          dtype=jnp.bfloat16)
+        logits = model.apply(variables, x, train=False)
+        logits = [mean_tta_logits(l, n_crops) for l in logits]
+        return predict_hierarchical(logits, harrays)
+
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(
+        rng.integers(0, 255, (batch, 256, 256, 3), dtype=np.uint8)
+    )
+
+    # Warmup / compile.
+    out = forward(variables, images)
+    jax.block_until_ready(out)
+    out = forward(variables, images)
+    jax.block_until_ready(out)
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = forward(variables, images)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+
+    images_per_sec = batch * iters / dt
+    per_chip = images_per_sec / jax.device_count()
+    result = {
+        "metric": "ten_crop_images_per_sec_per_chip_resnet50",
+        "value": round(per_chip, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(per_chip / 1250.0, 4),
+    }
+    print(json.dumps(result))
+    return result
+
+
+if __name__ == "__main__":
+    main()
