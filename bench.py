@@ -54,13 +54,36 @@ def main():
     )
     harrays = _synthetic_harrays(REAL_CLASS_COUNTS)
 
-    @jax.jit
-    def forward(variables, images_u8):
-        x = eval_pipeline(images_u8, n_crops=n_crops, crop=224,
-                          dtype=jnp.bfloat16)
-        logits = model.apply(variables, x, train=False)
-        logits = [mean_tta_logits(l, n_crops) for l in logits]
-        return predict_hierarchical(logits, harrays)
+    # BENCH_FAST=1 routes through the folded-BN + Pallas-fused-block path
+    # (models/fast_infer.py). Default 0: the Pallas bottleneck kernel is
+    # numerically verified but its production variant still loses to XLA on
+    # v5e (border-mask elementwise ops trigger Mosaic relayouts; see
+    # ops/fused_bottleneck.py docstring) — the XLA path at 1066 img/s/chip
+    # is the known-good configuration.
+    fast = os.environ.get("BENCH_FAST", "0") == "1"
+    if fast:
+        from geoestimation_tpu.models.fast_infer import build_fast_apply
+
+        fast_apply = build_fast_apply(
+            variables, "resnet50", n_classes=REAL_CLASS_COUNTS,
+            use_pallas=True,
+        )
+
+        @jax.jit
+        def forward(variables, images_u8):
+            x = eval_pipeline(images_u8, n_crops=n_crops, crop=224,
+                              dtype=jnp.bfloat16)
+            logits = fast_apply(x)
+            logits = [mean_tta_logits(l, n_crops) for l in logits]
+            return predict_hierarchical(logits, harrays)
+    else:
+        @jax.jit
+        def forward(variables, images_u8):
+            x = eval_pipeline(images_u8, n_crops=n_crops, crop=224,
+                              dtype=jnp.bfloat16)
+            logits = model.apply(variables, x, train=False)
+            logits = [mean_tta_logits(l, n_crops) for l in logits]
+            return predict_hierarchical(logits, harrays)
 
     rng = np.random.default_rng(0)
     images = jnp.asarray(

@@ -1,0 +1,182 @@
+"""Fast inference path: folded-BN ResNet with Pallas fused blocks.
+
+Builds, from a trained `MultiPartitioningClassifier` variables dict, a pure
+`apply(images) -> [logits]` function where:
+
+  * every conv's BatchNorm is algebraically folded into its weights
+    (inference running stats) — zero elementwise BN cost;
+  * stride-1 bottleneck blocks in the HBM-bound 56x56 and 28x28 stages run
+    through the fused Pallas kernel (`ops/fused_bottleneck.py`);
+  * the stem, stride-2 stage entries, and the 14x14/7x7 stages (measured at
+    ~94% MXU under XLA) stay on XLA;
+  * the fused multi-head matmul runs in bf16 with fp32 accumulation.
+
+Numerics: identical math to `model.apply(..., train=False)` up to bf16
+rounding (BN folding is exact in fp32; tests assert prediction agreement).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.fused_bottleneck import fold_bn, fused_bottleneck
+
+
+def _fold_block(params, stats, eps=1e-5):
+    """Fold one bottleneck block's convs+BNs. Returns dict of arrays."""
+    out = {}
+    for conv, bn in (("conv1", "bn1"), ("conv2", "bn2"), ("conv3", "bn3")):
+        k, b = fold_bn(
+            np.asarray(params[conv]["kernel"], np.float32),
+            np.asarray(params[bn]["scale"], np.float32),
+            np.asarray(params[bn]["bias"], np.float32),
+            np.asarray(stats[bn]["mean"], np.float32),
+            np.asarray(stats[bn]["var"], np.float32),
+            eps,
+        )
+        out[conv] = (k, b)
+    if "downsample_conv" in params:
+        k, b = fold_bn(
+            np.asarray(params["downsample_conv"]["kernel"], np.float32),
+            np.asarray(params["downsample_bn"]["scale"], np.float32),
+            np.asarray(params["downsample_bn"]["bias"], np.float32),
+            np.asarray(stats["downsample_bn"]["mean"], np.float32),
+            np.asarray(stats["downsample_bn"]["var"], np.float32),
+            eps,
+        )
+        out["downsample"] = (k, b)
+    return out
+
+
+def _xla_block(x, fb, stride):
+    """Folded bottleneck on XLA (any stride)."""
+    w1, b1 = fb["conv1"]
+    w2, b2 = fb["conv2"]
+    w3, b3 = fb["conv3"]
+
+    def conv(v, k, bias, s=1, pad="VALID"):
+        return jax.lax.conv_general_dilated(
+            v.astype(jnp.bfloat16), jnp.asarray(k, jnp.bfloat16),
+            window_strides=(s, s), padding=pad,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32,
+        ) + bias
+
+    y = jnp.maximum(conv(x, w1, b1), 0).astype(jnp.bfloat16)
+    y = jnp.maximum(conv(y, w2, b2, s=stride, pad=((1, 1), (1, 1))),
+                    0).astype(jnp.bfloat16)
+    y = conv(y, w3, b3)
+    if "downsample" in fb:
+        wd, bd = fb["downsample"]
+        res = conv(x, wd, bd, s=stride)
+    else:
+        res = x.astype(jnp.float32)
+    return jnp.maximum(y + res, 0).astype(jnp.bfloat16)
+
+
+def _pallas_block(x, fb, images_per_tile):
+    w1, b1 = fb["conv1"]
+    w2, b2 = fb["conv2"]
+    w3, b3 = fb["conv3"]
+    wd, bd = fb.get("downsample", (None, None))
+    return fused_bottleneck(
+        x,
+        w1.reshape(w1.shape[-2], w1.shape[-1]), b1,
+        w2, b2,
+        w3.reshape(w3.shape[-2], w3.shape[-1]), b3,
+        wd=None if wd is None else wd.reshape(wd.shape[-2], wd.shape[-1]),
+        bd=bd,
+        images_per_tile=images_per_tile,
+    )
+
+
+STAGE_SIZES = {"resnet50": (3, 4, 6, 3), "resnet101": (3, 4, 23, 3),
+               "resnet152": (3, 8, 36, 3)}
+
+# Stages whose stride-1 blocks go through the Pallas kernel, with the
+# images-per-tile for each (plane size -> tall-matmul folding).
+PALLAS_STAGES = {0: 1, 1: 2}
+
+
+def build_fast_apply(variables, arch="resnet50", n_classes=None,
+                     use_pallas=True, eps=1e-5):
+    """Returns `apply(images_u8_or_f32) -> [per-head fp32 logits]`.
+
+    `images` must already be normalized (use ingest.pipeline); shape
+    (B, H, W, 3). If `n_classes` is given, the fused head output is split
+    per partitioning like the linen model.
+    """
+    params = jax.device_get(variables["params"])
+    stats = jax.device_get(variables["batch_stats"])
+    bb_p, bb_s = params["backbone"], stats["backbone"]
+    stage_sizes = STAGE_SIZES[arch]
+
+    # Fold everything once, host-side.
+    stem_k, stem_b = fold_bn(
+        np.asarray(bb_p["conv1"]["kernel"], np.float32),
+        np.asarray(bb_p["bn1"]["scale"], np.float32),
+        np.asarray(bb_p["bn1"]["bias"], np.float32),
+        np.asarray(bb_s["bn1"]["mean"], np.float32),
+        np.asarray(bb_s["bn1"]["var"], np.float32),
+        eps,
+    )
+    blocks = []
+    for stage, n_blocks in enumerate(stage_sizes):
+        for bidx in range(n_blocks):
+            name = f"layer{stage + 1}_block{bidx}"
+            fb = _fold_block(bb_p[name], bb_s[name], eps)
+            stride = 2 if stage > 0 and bidx == 0 else 1
+            pallas_ok = (
+                use_pallas and stride == 1 and stage in PALLAS_STAGES
+            )
+            blocks.append((fb, stride, pallas_ok,
+                           PALLAS_STAGES.get(stage, 1)))
+
+    head_kernel = jnp.asarray(params["heads"]["fused_head"]["kernel"],
+                              jnp.bfloat16)
+    head_bias = jnp.asarray(params["heads"]["fused_head"]["bias"],
+                            jnp.float32)
+    stem_k = jnp.asarray(stem_k, jnp.bfloat16)
+    stem_b = jnp.asarray(stem_b, jnp.float32)
+    blocks = [
+        (jax.tree.map(jnp.asarray, fb), stride, pallas_ok, npi)
+        for fb, stride, pallas_ok, npi in blocks
+    ]
+
+    def apply(images):
+        x = images.astype(jnp.bfloat16)
+        x = jax.lax.conv_general_dilated(
+            x, stem_k, window_strides=(2, 2), padding=((3, 3), (3, 3)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32,
+        ) + stem_b
+        x = jnp.maximum(x, 0).astype(jnp.bfloat16)
+        x = jax.lax.reduce_window(
+            x, -jnp.inf, jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1),
+            ((0, 0), (1, 1), (1, 1), (0, 0)),
+        ).astype(jnp.bfloat16)
+        for fb, stride, pallas_ok, npi in blocks:
+            if pallas_ok and x.shape[0] % npi == 0:
+                x = _pallas_block(x, fb, npi)
+            else:
+                x = _xla_block(x, fb, stride)
+        feats = jnp.mean(x, axis=(1, 2), dtype=jnp.float32)
+        logits = jax.lax.dot_general(
+            feats.astype(jnp.bfloat16), head_kernel,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + head_bias
+        if n_classes is None:
+            return logits
+        out, start = [], 0
+        for n in n_classes:
+            out.append(logits[:, start:start + n])
+            start += n
+        return out
+
+    return apply

@@ -1,0 +1,227 @@
+"""Pallas fused ResNet bottleneck block (inference).
+
+Why: profiling the XLA path on v5e (see bench.py history) shows layer3/4
+already run at ~94% MXU, but the 56x56 and 28x28 stages are HBM-bound —
+each of the three convs in a bottleneck round-trips its activations
+through HBM. This kernel keeps the whole block in VMEM: the input tile is
+read once, conv1 -> conv2(3x3) -> conv3 -> residual add -> relu happen
+on-chip, and only the block output is written back. BatchNorm is folded
+into the conv weights host-side (inference running stats), so the
+elementwise epilogue is just bias+relu.
+
+TPU-native formulation of the 3x3 conv — chosen to cooperate with
+Mosaic's (8, 128) tiling (a first attempt using zero-padded planes +
+im2col reshapes hit pathological relayouts, ~1000x slower than XLA):
+
+  * activations stay (N, H, W, C) with C on lanes, W on sublanes, W a
+    multiple of 8 so (N*H*W, C) reshapes are tile-preserving bitcasts;
+  * each of the 9 taps is a `pltpu.roll` (cheap: axis-2 rolls are sublane
+    rotations, axis-1 rolls are untiled row permutes) + an iota-based
+    border mask + one MXU matmul accumulated in fp32;
+  * no padding, no scratch patch matrix, no sub-tile scatter writes.
+
+Scope: stride-1 blocks with or without a 1x1 downsample projection (this
+covers all of layer1 and layer2/3/4 blocks 1+; stride-2 stage entries stay
+on XLA, which is near-roofline for them). Training uses the XLA path
+(autodiff); this kernel is inference-only and flag-gated, with allclose
+tests against the XLA reference (tests/test_fused_block.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def fold_bn(kernel, bn_scale, bn_bias, bn_mean, bn_var, eps=1e-5):
+    """Fold BatchNorm(scale, bias, mean, var) into a conv kernel + bias.
+
+    conv(x, W) then BN == conv(x, W * g) + (bias - mean * g),
+    g = scale / sqrt(var + eps), broadcast over the kernel's output-channel
+    (last) axis.
+    """
+    g = bn_scale / np.sqrt(bn_var + eps)
+    folded_kernel = kernel * g.reshape((1,) * (kernel.ndim - 1) + (-1,))
+    folded_bias = bn_bias - bn_mean * g
+    return folded_kernel, folded_bias
+
+
+def _shifted(y, dy, dx, h, w, interpret):
+    """shift-with-zero-fill: out[n, i, j] = y[n, i+dy, j+dx] (0 outside).
+
+    y: (npi, H, W, C). Rolls wrap within each image plane; wrapped rows and
+    columns are zero-masked with iota comparisons (VPU selects).
+    """
+    s = y
+    if dy or dx:
+        # Mosaic's rotate only handles 32-bit data: round-trip through f32
+        # (bf16 -> f32 -> bf16 is lossless).
+        s = s.astype(jnp.float32)
+        if dy:
+            s = (jnp.roll(s, -dy, axis=1) if interpret
+                 else pltpu.roll(s, (-dy) % h, 1))
+        if dx:
+            s = (jnp.roll(s, -dx, axis=2) if interpret
+                 else pltpu.roll(s, (-dx) % w, 2))
+    ii = jax.lax.broadcasted_iota(jnp.int32, (1, h, w, 1), 1)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (1, h, w, 1), 2)
+    valid = (ii + dy >= 0) & (ii + dy < h) & (jj + dx >= 0) & (jj + dx < w)
+    return jnp.where(valid, s, jnp.zeros_like(s)).astype(jnp.bfloat16)
+
+
+def _bottleneck_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref,
+                       b3_ref, wd_ref, bd_ref, out_ref, *, npi, h, w,
+                       cmid, cout, has_downsample, interpret):
+    """npi image planes per grid step. Shapes:
+      x_ref:   (npi, H, W, Cin)    bf16
+      w1:      (Cin, Cmid)         bf16  (BN-folded)
+      w2:      (9, Cmid, Cmid)     bf16  (one (in, out) slab per tap)
+      w3:      (Cmid, Cout)        bf16
+      wd:      (Cin, Cout)         bf16  (downsample projection or dummy)
+      b*:      (1, C)              fp32
+      out_ref: (npi, H, W, Cout)   bf16
+    """
+    cin = x_ref.shape[-1]
+    rows = npi * h * w
+    x2d = x_ref[:].reshape(rows, cin)
+
+    # conv1 (1x1) + bias + relu — one tall matmul for all npi images.
+    y1 = jnp.dot(x2d, w1_ref[:], preferred_element_type=jnp.float32)
+    y1 = jnp.maximum(y1 + b1_ref[:], 0.0).astype(jnp.bfloat16)
+    y1 = y1.reshape(npi, h, w, cmid)
+
+    # conv2 (3x3): 9 shifted-and-masked views, one matmul each, fp32 acc.
+    acc = jnp.zeros((rows, cmid), jnp.float32)
+    for k in range(9):
+        dy, dx = k // 3 - 1, k % 3 - 1
+        tap = _shifted(y1, dy, dx, h, w, interpret).reshape(rows, cmid)
+        # tap is bf16 (see _shifted)
+        acc += jnp.dot(tap, w2_ref[k],
+                       preferred_element_type=jnp.float32)
+    y2 = jnp.maximum(acc + b2_ref[:], 0.0).astype(jnp.bfloat16)
+
+    # conv3 (1x1) + bias
+    y3 = jnp.dot(y2, w3_ref[:], preferred_element_type=jnp.float32)
+    y3 = y3 + b3_ref[:]
+
+    # residual
+    if has_downsample:
+        res = jnp.dot(x2d, wd_ref[:], preferred_element_type=jnp.float32)
+        res = res + bd_ref[:]
+    else:
+        res = x2d.astype(jnp.float32)
+
+    out = jnp.maximum(y3 + res, 0.0).astype(jnp.bfloat16)
+    out_ref[:] = out.reshape(npi, h, w, cout)
+
+
+def fused_bottleneck(x, w1, b1, w2, b2, w3, b3, wd=None, bd=None,
+                     images_per_tile: int = 1, interpret: bool = False):
+    """Fused stride-1 bottleneck: relu(conv3(relu(conv2(relu(conv1(x)))))
+    + residual).
+
+    Args:
+      x: (B, H, W, Cin) bf16; W must be a multiple of 8 (tile-preserving
+        reshapes).
+      w1: (Cin, Cmid) bf16 BN-folded; b1: (Cmid,) fp32.
+      w2: (3, 3, Cmid, Cmid) bf16 BN-folded; b2: (Cmid,) fp32.
+      w3: (Cmid, Cout) bf16 BN-folded; b3: (Cout,) fp32.
+      wd/bd: optional (Cin, Cout)/(Cout,) downsample projection (folded).
+      images_per_tile: images per grid step (raise for small planes,
+        e.g. 28x28, to get taller matmuls; must divide B).
+
+    Returns (B, H, W, Cout) bf16.
+    """
+    b, h, w, cin = x.shape
+    cmid = w1.shape[-1]
+    cout = w3.shape[-1]
+    has_ds = wd is not None
+    npi = images_per_tile
+    if b % npi:
+        raise ValueError(f"batch {b} not divisible by images_per_tile {npi}")
+    if w % 8:
+        raise ValueError(f"W={w} must be a multiple of 8")
+
+    w2p = jnp.asarray(w2, jnp.bfloat16).reshape(9, cmid, cmid)
+    if not has_ds:
+        wd = jnp.zeros((cin, cout), jnp.bfloat16)  # dummy, unused
+        bd = jnp.zeros((cout,), jnp.float32)
+
+    kernel = functools.partial(
+        _bottleneck_kernel, npi=npi, h=h, w=w, cmid=cmid, cout=cout,
+        has_downsample=has_ds, interpret=interpret,
+    )
+
+    flops = 2 * b * h * w * (cin * cmid + 9 * cmid * cmid + cmid * cout
+                             + (cin * cout if has_ds else 0))
+    bytes_accessed = 2 * (b * h * w * (cin + cout))
+
+    return pl.pallas_call(
+        kernel,
+        grid=(b // npi,),
+        in_specs=[
+            pl.BlockSpec((npi, h, w, cin), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # w1
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # b1
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # w2p
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # b2
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # w3
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # b3
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # wd
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # bd
+        ],
+        out_specs=pl.BlockSpec((npi, h, w, cout), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, h, w, cout), jnp.bfloat16),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=bytes_accessed, transcendentals=0,
+        ),
+        interpret=interpret,
+    )(
+        jnp.asarray(x, jnp.bfloat16),
+        jnp.asarray(w1, jnp.bfloat16),
+        jnp.asarray(b1, jnp.float32).reshape(1, -1),
+        w2p,
+        jnp.asarray(b2, jnp.float32).reshape(1, -1),
+        jnp.asarray(w3, jnp.bfloat16),
+        jnp.asarray(b3, jnp.float32).reshape(1, -1),
+        jnp.asarray(wd, jnp.bfloat16),
+        jnp.asarray(bd, jnp.float32).reshape(1, -1),
+    )
+
+
+def xla_bottleneck_reference(x, w1, b1, w2, b2, w3, b3, wd=None, bd=None):
+    """Plain-XLA reference implementation (same folded-weight math)."""
+    x = jnp.asarray(x, jnp.bfloat16)
+
+    def conv1x1(v, k, bias):
+        out = jax.lax.dot_general(
+            v.astype(jnp.bfloat16), jnp.asarray(k, jnp.bfloat16),
+            (((3,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return out + bias
+
+    y = jnp.maximum(conv1x1(x, w1, b1), 0).astype(jnp.bfloat16)
+    y = jax.lax.conv_general_dilated(
+        y, jnp.asarray(w2, jnp.bfloat16),
+        window_strides=(1, 1), padding=((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    ) + b2
+    y = jnp.maximum(y, 0).astype(jnp.bfloat16)
+    y = conv1x1(y, w3, b3)
+    if wd is not None:
+        res = conv1x1(x, wd, bd)
+    else:
+        res = x.astype(jnp.float32)
+    return jnp.maximum(y + res, 0).astype(jnp.bfloat16)

@@ -1,0 +1,72 @@
+"""Fast (folded-BN + Pallas) inference path vs the linen model."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from geoestimation_tpu.ingest.pipeline import normalize
+from geoestimation_tpu.models import MultiPartitioningClassifier
+from geoestimation_tpu.models.fast_infer import build_fast_apply
+
+N_CLASSES = (7, 13, 29)
+
+
+@pytest.fixture(scope="module")
+def model_and_vars():
+    model = MultiPartitioningClassifier(n_classes=N_CLASSES, arch="resnet50")
+    x = jnp.zeros((2, 64, 64, 3), jnp.float32)
+    rng = jax.random.PRNGKey(0)
+    variables = model.init(rng, x, train=False)
+    # run a few train steps so batch_stats are non-trivial
+    imgs = jax.random.normal(jax.random.PRNGKey(1), (4, 64, 64, 3))
+    _, mutated = model.apply(variables, imgs, train=True,
+                             mutable=["batch_stats"])
+    variables = {"params": variables["params"],
+                 "batch_stats": mutated["batch_stats"]}
+    return model, variables
+
+
+def test_fast_apply_matches_model_xla_only(model_and_vars):
+    # use_pallas=False isolates the BN folding + layout rewrite
+    model, variables = model_and_vars
+    rng = np.random.default_rng(0)
+    u8 = jnp.asarray(rng.integers(0, 255, (2, 64, 64, 3), dtype=np.uint8))
+    x = normalize(u8, jnp.float32)
+    ref = model.apply(variables, x, train=False)
+    fast = build_fast_apply(variables, "resnet50", n_classes=N_CLASSES,
+                            use_pallas=False)
+    got = fast(x)
+    assert len(got) == 3
+    for g, r in zip(got, ref):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   rtol=0.1, atol=0.15)
+        # argmax agreement is what prediction parity needs
+        np.testing.assert_array_equal(
+            np.asarray(g).argmax(-1), np.asarray(r).argmax(-1)
+        )
+
+
+def test_fast_apply_with_pallas_interpret(model_and_vars, monkeypatch):
+    # route the pallas blocks through the interpreter on CPU
+    import geoestimation_tpu.ops.fused_bottleneck as fbmod
+
+    orig = fbmod.fused_bottleneck
+    monkeypatch.setattr(
+        "geoestimation_tpu.models.fast_infer.fused_bottleneck",
+        lambda *a, **k: orig(*a, **{**k, "interpret": True}),
+    )
+    model, variables = model_and_vars
+    rng = np.random.default_rng(1)
+    u8 = jnp.asarray(rng.integers(0, 255, (2, 64, 64, 3), dtype=np.uint8))
+    x = normalize(u8, jnp.float32)
+    ref = model.apply(variables, x, train=False)
+    fast = build_fast_apply(variables, "resnet50", n_classes=N_CLASSES,
+                            use_pallas=True)
+    got = fast(x)
+    for g, r in zip(got, ref):
+        np.testing.assert_array_equal(
+            np.asarray(g).argmax(-1), np.asarray(r).argmax(-1)
+        )
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   rtol=0.15, atol=0.2)
