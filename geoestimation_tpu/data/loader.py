@@ -34,11 +34,21 @@ class TrainBatch:
     labels: np.ndarray    # (P, B) int32, -1 = invalid
     ids: Optional[list] = None
     latlng: Optional[np.ndarray] = None  # (B, 2) float32 when known
+    scene: Optional[np.ndarray] = None   # (B,) int32, -1 = unknown (ISN)
 
 
-def load_label_csv(path: str, shortnames: Sequence[str]) -> dict:
+SCENE_COLUMN_ALIASES = ("scene", "s3", "s3_label", "scene_label")
+
+
+def load_label_csv(path: str, shortnames: Sequence[str],
+                   with_scene: bool = False):
     """Label CSV: IMG_ID plus one column per partitioning shortname (the
-    `assign_classes` output format). Returns {img_id: (P,) int32}."""
+    `assign_classes` output format), optionally a scene column (Places365
+    S3 concept: 0=indoor 1=natural 2=urban — the mp16_places365.csv extra
+    columns, reference README.md:209-210).
+
+    Returns {img_id: (P,) int32}, or (labels, scene_map) when with_scene.
+    """
     df = pd.read_csv(path)
     cols = {c.lower(): c for c in df.columns}
     if "img_id" not in cols:
@@ -53,7 +63,17 @@ def load_label_csv(path: str, shortnames: Sequence[str]) -> dict:
         label_cols.append(cols[name.lower()])
     ids = df[cols["img_id"]].astype(str).values
     labels = df[label_cols].to_numpy(dtype=np.int32)
-    return dict(zip(ids, map(tuple, labels)))
+    label_map = dict(zip(ids, map(tuple, labels)))
+    if not with_scene:
+        return label_map
+    scene_map = None
+    for alias in SCENE_COLUMN_ALIASES:
+        if alias in cols:
+            scene_map = dict(
+                zip(ids, df[cols[alias]].to_numpy(dtype=np.int32))
+            )
+            break
+    return label_map, scene_map
 
 
 class ShardBatcher:
@@ -73,6 +93,7 @@ class ShardBatcher:
         num_workers: Optional[int] = None,
         prefetch: int = 4,
         drop_unlabeled: bool = True,
+        scene_map: Optional[dict] = None,
     ):
         if partitionings is None and label_map is None:
             raise ValueError("need partitionings or label_map for labels")
@@ -88,6 +109,7 @@ class ShardBatcher:
         self.num_workers = num_workers
         self.prefetch = prefetch
         self.drop_unlabeled = drop_unlabeled
+        self.scene_map = scene_map
         self.n_partitionings = (
             len(partitionings) if partitionings is not None
             else len(next(iter(label_map.values())))
@@ -145,27 +167,36 @@ class ShardBatcher:
         )
         labels, latlng = self._labels_for(recs)
         labels[:, ~ok] = -1
+        scene = np.full(len(recs), -1, dtype=np.int32)
+        if self.scene_map is not None:
+            for i, r in enumerate(recs):
+                scene[i] = self.scene_map.get(str(r.get("id")), -1)
         if self.drop_unlabeled:
             keep = ok & (labels >= 0).all(axis=0)
             if not keep.any():
                 return None
-            images, labels, latlng = images[keep], labels[:, keep], \
-                latlng[keep]
+            images, labels, latlng, scene = (
+                images[keep], labels[:, keep], latlng[keep], scene[keep]
+            )
             recs = [r for r, k in zip(recs, keep) if k]
         n = images.shape[0]
         size = pad_to or self.batch_size
         if n < size:
             reps = -(-size // n)
             idx = np.tile(np.arange(n), reps)[:size]
-            images, labels, latlng = images[idx], labels[:, idx], latlng[idx]
-            recs = [recs[i] for i in idx]
         elif n > size:
-            images, labels, latlng = images[:size], labels[:, :size], \
-                latlng[:size]
-            recs = recs[:size]
+            idx = np.arange(size)
+        else:
+            idx = None
+        if idx is not None:
+            images, labels, latlng, scene = (
+                images[idx], labels[:, idx], latlng[idx], scene[idx]
+            )
+            recs = [recs[i] for i in idx]
         return TrainBatch(
             images=images, labels=labels,
             ids=[str(r.get("id")) for r in recs], latlng=latlng,
+            scene=scene,
         )
 
     def __iter__(self) -> Iterator[TrainBatch]:

@@ -71,10 +71,14 @@ class InferenceEngine:
         self.harrays = HierarchyArrays.from_hierarchy(self.hierarchy)
         self.n_crops = n_crops
         self.crop = crop
-        self.model = MultiPartitioningClassifier(
-            n_classes=tuple(len(p) for p in partitionings),
-            arch=mp.arch,
-            dtype=dtype,
+        # Build from config so ISN checkpoints route through their scene
+        # gate transparently (ISNClassifier shares the __call__ contract).
+        import dataclasses as _dc
+
+        from ..train.init import model_from_config
+
+        self.model = _dc.replace(
+            model_from_config(config, partitionings), dtype=dtype
         )
         self.variables = {
             "params": state["params"],

@@ -13,10 +13,16 @@ from ..models import MultiPartitioningClassifier
 def model_from_config(config, partitionings):
     mp = config.model_params
     dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[mp.dtype]
+    n_classes = tuple(len(p) for p in partitionings)
+    if mp.scene_gating:
+        from ..models.isn import ISNClassifier
+
+        return ISNClassifier(
+            n_classes=n_classes, n_scenes=mp.n_scenes, arch=mp.arch,
+            dtype=dtype,
+        )
     return MultiPartitioningClassifier(
-        n_classes=tuple(len(p) for p in partitionings),
-        arch=mp.arch,
-        dtype=dtype,
+        n_classes=n_classes, arch=mp.arch, dtype=dtype,
     )
 
 

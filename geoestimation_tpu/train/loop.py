@@ -117,16 +117,19 @@ class Trainer:
     # -- data ---------------------------------------------------------------
 
     def _batcher(self, patterns, labels_csv, shuffle, seed):
-        label_map = None
+        label_map = scene_map = None
         if labels_csv:
-            label_map = load_label_csv(
-                labels_csv, self.config.model_params.partitionings.shortnames
+            label_map, scene_map = load_label_csv(
+                labels_csv,
+                self.config.model_params.partitionings.shortnames,
+                with_scene=True,
             )
         return ShardBatcher(
             patterns,
             batch_size=self.tp.batch_size,
             partitionings=None if label_map else self.partitionings,
             label_map=label_map,
+            scene_map=scene_map,
             shuffle=shuffle,
             seed=seed,
             repeat=False,
@@ -180,12 +183,23 @@ class Trainer:
             state = self.maybe_resume(state)
         start_step = int(state.step)
 
-        train_fn = make_jitted_train_step(
-            self.layout,
-            label_smoothing=tp.label_smoothing,
-            crop=tp.image_size,
-            dtype=self.model.dtype,
-        )
+        isn = self.config.model_params.scene_gating
+        if isn:
+            from .step import make_jitted_isn_train_step
+
+            train_fn = make_jitted_isn_train_step(
+                self.layout,
+                label_smoothing=tp.label_smoothing,
+                crop=tp.image_size,
+                dtype=self.model.dtype,
+            )
+        else:
+            train_fn = make_jitted_train_step(
+                self.layout,
+                label_smoothing=tp.label_smoothing,
+                crop=tp.image_size,
+                dtype=self.model.dtype,
+            )
         eval_fn = make_jitted_eval_step(self.layout, crop=tp.image_size,
                                         dtype=self.model.dtype)
         rng = jax.device_put(jax.random.PRNGKey(tp.seed),
@@ -203,10 +217,19 @@ class Trainer:
                     seed=tp.seed + step,
                 )
                 for batch in batcher:
-                    state, metrics = train_fn(
-                        state, jnp.asarray(batch.images),
-                        jnp.asarray(batch.labels), rng,
-                    )
+                    if isn:
+                        scene = batch.scene if batch.scene is not None \
+                            else np.full(batch.images.shape[0], -1, np.int32)
+                        state, metrics = train_fn(
+                            state, jnp.asarray(batch.images),
+                            jnp.asarray(batch.labels), jnp.asarray(scene),
+                            rng,
+                        )
+                    else:
+                        state, metrics = train_fn(
+                            state, jnp.asarray(batch.images),
+                            jnp.asarray(batch.labels), rng,
+                        )
                     step += 1
                     images_seen += batch.images.shape[0]
                     if step % tp.log_every_steps == 0 or step == total_steps:

@@ -112,6 +112,70 @@ def eval_step(state: TrainState, images_u8, labels, crop: int = 224,
     }, logits
 
 
+def train_step_isn(state: TrainState, images_u8, labels, scene, rng,
+                   label_smoothing: float = 0.0, crop: int = 224,
+                   dtype=jnp.bfloat16, scene_loss_weight: float = 1.0,
+                   augment: bool = True):
+    """ISN optimization step: scene CE + geo CE on the ground-truth-scene
+    heads (models/isn.py). scene: (B,) int32, -1 = unknown."""
+    from ..models.isn import isn_loss
+
+    if augment:
+        step_rng = jax.random.fold_in(rng, state.step)
+        x = train_pipeline(step_rng, images_u8, crop=crop, dtype=dtype)
+    else:
+        from ..ingest.pipeline import center_crop, normalize
+
+        x = normalize(center_crop(images_u8, crop), dtype)
+
+    def loss_fn(params):
+        (scene_logits, heads), mutated = state.apply_fn(
+            {"params": params, "batch_stats": state.batch_stats},
+            x, train=True, method="with_scene", mutable=["batch_stats"],
+        )
+        total, comps = isn_loss(
+            scene_logits, heads, labels, scene,
+            scene_loss_weight=scene_loss_weight,
+            label_smoothing=label_smoothing,
+        )
+        return total, (comps, mutated["batch_stats"])
+
+    (loss, (comps, new_stats)), grads = jax.value_and_grad(
+        loss_fn, has_aux=True
+    )(state.params)
+    updates, new_opt_state = state.tx.update(grads, state.opt_state,
+                                             state.params)
+    new_params = optax.apply_updates(state.params, updates)
+    new_state = state.replace(
+        step=state.step + 1,
+        params=new_params,
+        batch_stats=new_stats,
+        opt_state=new_opt_state,
+    )
+    metrics = {
+        "loss": loss,
+        "scene_loss": comps["scene_loss"],
+        "geo_loss": comps["geo_loss"],
+        "n_valid": (labels >= 0).all(axis=0).sum(),
+    }
+    return new_state, metrics
+
+
+def make_jitted_isn_train_step(layout: MeshLayout, label_smoothing=0.0,
+                               crop=224, dtype=jnp.bfloat16,
+                               scene_loss_weight=1.0):
+    fn = functools.partial(
+        train_step_isn, label_smoothing=label_smoothing, crop=crop,
+        dtype=dtype, scene_loss_weight=scene_loss_weight,
+    )
+    return jax.jit(
+        fn,
+        in_shardings=(None, layout.batch(), layout.labels(),
+                      layout.batch(), layout.replicated()),
+        donate_argnums=(0,),
+    )
+
+
 def make_jitted_train_step(layout: MeshLayout, label_smoothing=0.0,
                            crop=224, dtype=jnp.bfloat16):
     """Bind shardings: state replicated (head on model axis), batch on data.

@@ -131,6 +131,70 @@ class TestTrainCLI:
         assert len(df) == 3 * 4
         assert set(df.p_key) == {"coarse", "middle", "fine", "hierarchy"}
 
+    def test_isn_train_smoke(self, train_world, capsys):
+        # ISN variant (BASELINE config 5): scene-gated training through
+        # the Trainer; no scene labels in this world -> scene CE masked,
+        # routing by predicted scene; loss must be finite and step.
+        from geoestimation_tpu.train.loop import Trainer
+        from geoestimation_tpu.utils.config import load_config
+
+        config = load_config(train_world["config"])
+        config.model_params.scene_gating = True
+        config.train_params.checkpoint_dir = train_world["ckpt"] + "_isn"
+        config.train_params.steps_per_epoch = 2
+        trainer = Trainer(config)
+        trainer.fit(max_steps=2)
+        out = capsys.readouterr().out
+        assert "step 2/2" in out
+
+        # the ISN checkpoint round-trips through the inference engine
+        import jax.numpy as jnp
+
+        from geoestimation_tpu.eval.engine import InferenceEngine
+        from geoestimation_tpu.train.checkpoint import load_for_inference
+
+        cfg2, state = load_for_inference(config.train_params.checkpoint_dir)
+        engine = InferenceEngine(cfg2, state, n_crops=1,
+                                 dtype=jnp.bfloat16)
+        import numpy as np
+
+        imgs = np.zeros((2, 256, 256, 3), np.uint8)
+        preds = engine.predict_batch(imgs)
+        assert set(preds) == {"coarse", "middle", "fine", "hierarchy"}
+
+    def test_scene_labels_flow_from_csv(self, train_world, tmp_path):
+        # label CSV with a scene column reaches TrainBatch.scene
+        import pandas as pd
+
+        from geoestimation_tpu.data.loader import (
+            ShardBatcher,
+            load_label_csv,
+        )
+        from geoestimation_tpu.data.shards import iter_records
+
+        root = train_world["root"]
+        ids = [r["id"] for r in
+               iter_records([str(root / "train" / "*.msgpack")])]
+        df = pd.DataFrame({
+            "IMG_ID": ids,
+            "coarse": 0, "middle": 0, "fine": 0,
+            "S3_Label": [i % 3 for i in range(len(ids))],
+        })
+        csv = tmp_path / "labels_scene.csv"
+        df.to_csv(csv, index=False)
+        label_map, scene_map = load_label_csv(
+            str(csv), ["coarse", "middle", "fine"], with_scene=True
+        )
+        assert scene_map is not None
+        b = ShardBatcher(
+            [str(root / "train" / "*.msgpack")], batch_size=8,
+            label_map=label_map, scene_map=scene_map, shuffle=False,
+            repeat=False,
+        )
+        batch = next(iter(b))
+        assert batch.scene is not None
+        assert set(np.unique(batch.scene)) <= {0, 1, 2}
+
     def test_val_metrics_logged(self, train_world, capsys):
         # epoch-end validation computes val_loss + hierarchical GCD accs
         from geoestimation_tpu.train.loop import Trainer
