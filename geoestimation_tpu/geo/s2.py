@@ -182,8 +182,25 @@ def from_face_ij(face, i, j):
     return n * _U64(2) + _U64(1)
 
 
+_NATIVE_MIN_N = 10_000  # below this, ctypes overhead beats the win
+
+
+def _native():
+    from . import native
+
+    return native if native.available() else None
+
+
 def latlng_to_cell_id(lat_deg, lng_deg):
-    """Degree lat/lng arrays -> level-30 (leaf) S2 cell ids, vectorized."""
+    """Degree lat/lng arrays -> level-30 (leaf) S2 cell ids, vectorized.
+
+    Dispatches to the C++ extension (geo/cpp) for large batches when built;
+    both paths are exact-identical (tests/test_native_s2.py).
+    """
+    if np.ndim(lat_deg) and np.size(lat_deg) >= _NATIVE_MIN_N:
+        nat = _native()
+        if nat is not None:
+            return nat.latlng_to_cell_id(lat_deg, lng_deg)
     face, u, v = xyz_to_face_uv(latlng_to_xyz(lat_deg, lng_deg))
     i = st_to_ij(uv_to_st(u))
     j = st_to_ij(uv_to_st(v))
