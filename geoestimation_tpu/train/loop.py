@@ -57,6 +57,11 @@ class Trainer:
             self.tp.checkpoint_dir,
             max_to_keep=self.tp.keep_checkpoints,
         )
+        from ..utils.logging import MetricsLogger
+
+        # CSV + TensorBoard mirror of everything printed (SURVEY.md §5).
+        self.metrics = MetricsLogger(self.tp.checkpoint_dir,
+                                     stdout=lambda s: None)
 
     # -- state --------------------------------------------------------------
 
@@ -241,6 +246,9 @@ class Trainer:
                             f"step {step}/{total_steps} loss {loss:.4f} "
                             f"lr {lr:.5f} {ips:.1f} img/s"
                         )
+                        self.metrics.log(step, {"loss": loss, "lr": lr,
+                                                "images_per_sec": ips},
+                                         prefix="train/")
                     if tp.checkpoint_every_steps and \
                             step % tp.checkpoint_every_steps == 0:
                         self._checkpoint(state, step, eval_fn)
@@ -269,6 +277,8 @@ class Trainer:
                 if self.tp.val_shards else {}
             if val_metrics:
                 self.log(f"val @ {step}: {val_metrics}")
+        if val_metrics:
+            self.metrics.log(step, val_metrics, prefix="val/")
         metrics = {"val_loss": val_metrics.get("val_loss", float("inf"))}
         self.ckpt.save(
             step,
