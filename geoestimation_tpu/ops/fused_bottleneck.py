@@ -51,63 +51,72 @@ def fold_bn(kernel, bn_scale, bn_bias, bn_mean, bn_var, eps=1e-5):
     return folded_kernel, folded_bias
 
 
-def _shifted(y, dy, dx, h, w, interpret):
-    """shift-with-zero-fill: out[n, i, j] = y[n, i+dy, j+dx] (0 outside).
-
-    y: (npi, H, W, C). Rolls wrap within each image plane; wrapped rows and
-    columns are zero-masked with iota comparisons (VPU selects).
-    """
-    s = y
-    if dy or dx:
-        # Mosaic's rotate only handles 32-bit data: round-trip through f32
-        # (bf16 -> f32 -> bf16 is lossless).
-        s = s.astype(jnp.float32)
-        if dy:
-            s = (jnp.roll(s, -dy, axis=1) if interpret
-                 else pltpu.roll(s, (-dy) % h, 1))
-        if dx:
-            s = (jnp.roll(s, -dx, axis=2) if interpret
-                 else pltpu.roll(s, (-dx) % w, 2))
-    ii = jax.lax.broadcasted_iota(jnp.int32, (1, h, w, 1), 1)
-    jj = jax.lax.broadcasted_iota(jnp.int32, (1, h, w, 1), 2)
-    valid = (ii + dy >= 0) & (ii + dy < h) & (jj + dx >= 0) & (jj + dx < w)
-    return jnp.where(valid, s, jnp.zeros_like(s)).astype(jnp.bfloat16)
+def _roll_w(s, shift, interpret):
+    """Circular shift along the padded-width (sublane) axis of a 4D f32
+    tensor. Mosaic's rotate handles 32-bit data only."""
+    if shift == 0:
+        return s
+    if interpret:
+        return jnp.roll(s, shift, axis=2)
+    return pltpu.roll(s, shift % s.shape[2], 2)
 
 
 def _bottleneck_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref,
-                       b3_ref, wd_ref, bd_ref, out_ref, *, npi, h, w,
-                       cmid, cout, has_downsample, interpret):
-    """npi image planes per grid step. Shapes:
-      x_ref:   (npi, H, W, Cin)    bf16
-      w1:      (Cin, Cmid)         bf16  (BN-folded)
-      w2:      (9, Cmid, Cmid)     bf16  (one (in, out) slab per tap)
-      w3:      (Cmid, Cout)        bf16
-      wd:      (Cin, Cout)         bf16  (downsample projection or dummy)
-      b*:      (1, C)              fp32
-      out_ref: (npi, H, W, Cout)   bf16
+                       b3_ref, wd_ref, bd_ref, out_ref, ppad_ref, *, npi,
+                       h, w, wp, cmid, cout, has_downsample, interpret):
+    """npi image planes per grid step.
+
+    Padded-width formulation: activations are carried at width `wp`
+    (w rounded up to a multiple of 8, +2 halo, e.g. 56 -> 64) with zero
+    border columns, so the 3x3 conv is 9 plain matmuls over views of one
+    zero-padded buffer — row taps are free slices of the untiled H axis,
+    column taps are sublane rotations that pull the zero borders in. No
+    masks (measured pathological on v5e), no non-tile-preserving reshapes
+    (wp is a multiple of 8), and exactly 3 sublane-offset copies per step
+    (x pad-in is avoided; y1 pad-in and the final slice-out are the two).
+
+    Shapes:
+      x_ref:    (npi, H, W, Cin)        bf16
+      w1:       (Cin, Cmid)             bf16  (BN-folded)
+      w2:       (9, Cmid, Cmid)         bf16  (one (in, out) slab per tap)
+      w3:       (Cmid, Cout)            bf16
+      wd:       (Cin, Cout)             bf16  (downsample proj or dummy)
+      b*:       (1, C)                  fp32
+      out_ref:  (npi, H, W, Cout)       bf16
+      ppad_ref: (npi, H+2, wp, Cmid)    bf16 scratch, zero-bordered
     """
     cin = x_ref.shape[-1]
     rows = npi * h * w
+    rows_p = npi * h * wp
     x2d = x_ref[:].reshape(rows, cin)
 
     # conv1 (1x1) + bias + relu — one tall matmul for all npi images.
     y1 = jnp.dot(x2d, w1_ref[:], preferred_element_type=jnp.float32)
     y1 = jnp.maximum(y1 + b1_ref[:], 0.0).astype(jnp.bfloat16)
-    y1 = y1.reshape(npi, h, w, cmid)
 
-    # conv2 (3x3): 9 shifted-and-masked views, one matmul each, fp32 acc.
-    acc = jnp.zeros((rows, cmid), jnp.float32)
-    for k in range(9):
-        dy, dx = k // 3 - 1, k % 3 - 1
-        tap = _shifted(y1, dy, dx, h, w, interpret).reshape(rows, cmid)
-        # tap is bf16 (see _shifted)
-        acc += jnp.dot(tap, w2_ref[k],
-                       preferred_element_type=jnp.float32)
+    # Zero-pad into (H+2, wp): valid data at rows [1, H+1), cols [1, w+1).
+    ppad_ref[:] = jnp.zeros_like(ppad_ref)
+    ppad_ref[:, 1:h + 1, 1:w + 1, :] = y1.reshape(npi, h, w, cmid)
+
+    # conv2 (3x3): 3 column rotations of the padded buffer (zero borders
+    # make wrap-around harmless), 3 free row slices each, fp32 acc over
+    # the padded width.
+    acc = jnp.zeros((rows_p, cmid), jnp.float32)
+    for dx in range(3):
+        rolled = _roll_w(ppad_ref[:].astype(jnp.float32), 1 - dx,
+                         interpret).astype(jnp.bfloat16)
+        for dy in range(3):
+            k = dy * 3 + dx
+            view = rolled[:, dy:dy + h, :, :].reshape(rows_p, cmid)
+            acc += jnp.dot(view, w2_ref[k],
+                           preferred_element_type=jnp.float32)
     y2 = jnp.maximum(acc + b2_ref[:], 0.0).astype(jnp.bfloat16)
 
-    # conv3 (1x1) + bias
+    # conv3 (1x1) + bias on the padded grid (garbage columns are dropped
+    # by the final slice; they never feed neighboring positions).
     y3 = jnp.dot(y2, w3_ref[:], preferred_element_type=jnp.float32)
-    y3 = y3 + b3_ref[:]
+    y3 = (y3 + b3_ref[:]).reshape(npi, h, wp, cout)
+    y3v = y3[:, :, 1:w + 1, :].reshape(rows, cout)
 
     # residual
     if has_downsample:
@@ -116,7 +125,7 @@ def _bottleneck_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref,
     else:
         res = x2d.astype(jnp.float32)
 
-    out = jnp.maximum(y3 + res, 0.0).astype(jnp.bfloat16)
+    out = jnp.maximum(y3v + res, 0.0).astype(jnp.bfloat16)
     out_ref[:] = out.reshape(npi, h, w, cout)
 
 
@@ -146,6 +155,7 @@ def fused_bottleneck(x, w1, b1, w2, b2, w3, b3, wd=None, bd=None,
         raise ValueError(f"batch {b} not divisible by images_per_tile {npi}")
     if w % 8:
         raise ValueError(f"W={w} must be a multiple of 8")
+    wp = -(-(w + 2) // 8) * 8  # padded width: halo + round up to sublanes
 
     w2p = jnp.asarray(w2, jnp.bfloat16).reshape(9, cmid, cmid)
     if not has_ds:
@@ -153,7 +163,7 @@ def fused_bottleneck(x, w1, b1, w2, b2, w3, b3, wd=None, bd=None,
         bd = jnp.zeros((cout,), jnp.float32)
 
     kernel = functools.partial(
-        _bottleneck_kernel, npi=npi, h=h, w=w, cmid=cmid, cout=cout,
+        _bottleneck_kernel, npi=npi, h=h, w=w, wp=wp, cmid=cmid, cout=cout,
         has_downsample=has_ds, interpret=interpret,
     )
 
@@ -179,6 +189,9 @@ def fused_bottleneck(x, w1, b1, w2, b2, w3, b3, wd=None, bd=None,
         out_specs=pl.BlockSpec((npi, h, w, cout), lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, h, w, cout), jnp.bfloat16),
+        scratch_shapes=[
+            pltpu.VMEM((npi, h + 2, wp, cmid), jnp.bfloat16),
+        ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),

@@ -1,0 +1,3 @@
+"""Training runtime: steps, optimizer, loop, checkpoints (layer L4)."""
+
+from . import checkpoint, init, loop, optim, step

@@ -1,0 +1,3 @@
+"""Utilities: config system, logging."""
+
+from . import config, logging
