@@ -49,8 +49,11 @@ def test_fast_apply_matches_model_xla_only(model_and_vars):
 
 def test_fast_apply_with_pallas_interpret(model_and_vars, monkeypatch):
     # route the pallas blocks through the interpreter on CPU
-    import geoestimation_tpu.ops.fused_bottleneck as fbmod
+    import importlib
 
+    fbmod = importlib.import_module(
+        "geoestimation_tpu.ops.fused_bottleneck"
+    )
     orig = fbmod.fused_bottleneck
     monkeypatch.setattr(
         "geoestimation_tpu.models.fast_infer.fused_bottleneck",
