@@ -39,6 +39,11 @@ def build_parser():
                         "(accelerator is chosen by JAX/XLA)")
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend (debug)")
+    p.add_argument("--fast", action="store_true",
+                   help="fold BatchNorm into conv weights at load "
+                        "(identical predictions up to bf16 rounding)")
+    p.add_argument("--pallas", action="store_true",
+                   help="with --fast: fused Pallas bottleneck blocks")
     return p
 
 
@@ -61,6 +66,8 @@ def main(argv=None):
         dtype=jnp.bfloat16 if args.precision == 16 else jnp.float32,
         search_dirs=[os.path.dirname(os.path.abspath(args.checkpoint)),
                      args.checkpoint, os.getcwd()],
+        fast=args.fast,
+        use_pallas=args.pallas,
     )
     df = engine.predict_dir(args.image_dir, batch_size=args.batch_size,
                             num_workers=args.num_workers)

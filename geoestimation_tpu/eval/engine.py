@@ -57,7 +57,13 @@ class InferenceEngine:
         crop: int = 224,
         dtype=jnp.bfloat16,
         search_dirs: Sequence[str] = (),
+        fast: bool = False,
+        use_pallas: bool = False,
     ):
+        """fast=True folds BatchNorm into conv weights at load time
+        (models/fast_infer.py) — identical predictions up to bf16 rounding;
+        use_pallas additionally routes stride-1 bottlenecks through the
+        fused kernel (base classifier only)."""
         mp = config.model_params
         if partitionings is None:
             paths = resolve_partitioning_paths(
@@ -84,16 +90,31 @@ class InferenceEngine:
             "params": state["params"],
             "batch_stats": state["batch_stats"],
         }
+        self._fast_apply = None
+        if fast and not config.model_params.scene_gating:
+            from ..models.fast_infer import build_fast_apply
+
+            self._fast_apply = build_fast_apply(
+                self.variables, mp.arch,
+                n_classes=tuple(len(p) for p in partitionings),
+                use_pallas=use_pallas,
+            )
         self._forward = jax.jit(
             functools.partial(self._forward_impl, n_crops=n_crops, crop=crop)
         )
 
     def _forward_impl(self, variables, images_u8, n_crops, crop):
-        x = eval_pipeline(images_u8, n_crops=n_crops, crop=crop,
-                          dtype=self.model.dtype)
-        logits = self.model.apply(variables, x, train=False)
-        logits = [mean_tta_logits(l, n_crops) for l in logits]
-        return predict_all(logits, self.harrays)
+        with jax.named_scope("ingest"):
+            x = eval_pipeline(images_u8, n_crops=n_crops, crop=crop,
+                              dtype=self.model.dtype)
+        with jax.named_scope("backbone_heads"):
+            if self._fast_apply is not None:
+                logits = self._fast_apply(x)
+            else:
+                logits = self.model.apply(variables, x, train=False)
+        with jax.named_scope("tta_hierarchy"):
+            logits = [mean_tta_logits(l, n_crops) for l in logits]
+            return predict_all(logits, self.harrays)
 
     def predict_batch(self, images_u8: np.ndarray):
         """uint8 (B, base, base, 3) -> {p_key: (cls, lat, lng)} numpy."""

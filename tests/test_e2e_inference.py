@@ -123,6 +123,24 @@ class TestInferenceCLI:
         assert len(df) == world["n_images"] * 4
 
 
+class TestFastEngine:
+    def test_fast_matches_default(self, world, tmp_path):
+        from classification.inference import main
+
+        out_a = str(tmp_path / "a.csv")
+        out_b = str(tmp_path / "b.csv")
+        common = ["--checkpoint", world["ckpt"], "--image_dir",
+                  world["img_dir"], "--batch_size", "4", "--crops", "1"]
+        main(common + ["--output", out_a])
+        main(common + ["--output", out_b, "--fast"])
+        a = pd.read_csv(out_a)
+        b = pd.read_csv(out_b)
+        # folded-BN path must produce identical predicted classes
+        assert (a.pred_class.values == b.pred_class.values).all()
+        np.testing.assert_allclose(a.pred_lat.values, b.pred_lat.values,
+                                   atol=1e-4)
+
+
 class TestTestCLI:
     def test_accuracy_table(self, world, tmp_path, capsys):
         from classification.test import main
