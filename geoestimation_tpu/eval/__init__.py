@@ -8,6 +8,7 @@ from .infer import (
     predict_hierarchical,
     predict_per_partitioning,
 )
+from .engine import InferenceEngine, format_accuracy_table
 from .metrics import (
     DEFAULT_THRESHOLDS_KM,
     EARTH_RADIUS_KM,
