@@ -94,6 +94,8 @@ class ShardBatcher:
         prefetch: int = 4,
         drop_unlabeled: bool = True,
         scene_map: Optional[dict] = None,
+        host_id: Optional[int] = None,
+        host_count: Optional[int] = None,
     ):
         if partitionings is None and label_map is None:
             raise ValueError("need partitionings or label_map for labels")
@@ -110,6 +112,15 @@ class ShardBatcher:
         self.prefetch = prefetch
         self.drop_unlabeled = drop_unlabeled
         self.scene_map = scene_map
+        if host_id is None or host_count is None:
+            # default to the JAX multi-process topology (1 process here;
+            # real multi-host fills these in automatically)
+            import jax
+
+            host_id = jax.process_index()
+            host_count = jax.process_count()
+        self.host_id = host_id
+        self.host_count = host_count
         self.n_partitionings = (
             len(partitionings) if partitionings is not None
             else len(next(iter(label_map.values())))
@@ -142,7 +153,8 @@ class ShardBatcher:
             pending = []
             for rec in shards.iter_records(
                 self.patterns, shuffle=self.shuffle, seed=self.seed,
-                repeat=self.repeat,
+                repeat=self.repeat, host_id=self.host_id,
+                host_count=self.host_count,
             ):
                 pending.append(rec)
                 if len(pending) < self.batch_size:

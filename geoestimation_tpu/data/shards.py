@@ -91,13 +91,28 @@ def iter_records(
     seed: int = 0,
     shuffle_buffer: int = 2048,
     repeat: bool = False,
+    host_id: int = 0,
+    host_count: int = 1,
 ) -> Iterator[dict]:
     """Stream records across shards; optional shard-order shuffle + in-
     stream reservoir-style shuffle buffer (the TPU-native replacement for
-    the reference's torch DataLoader shuffling over an IterableDataset)."""
+    the reference's torch DataLoader shuffling over an IterableDataset).
+
+    Multi-host data parallelism: each host reads the strided subset
+    `shards[host_id::host_count]` (SURVEY.md §3.3 "per-host sharded input
+    feed") — no coordination needed beyond consistent shard listing.
+    """
     paths = expand_shard_patterns(patterns)
     if not paths:
         raise FileNotFoundError(f"no shards match {list(patterns)!r}")
+    if host_count > 1:
+        paths = paths[host_id::host_count]
+        if not paths:
+            raise ValueError(
+                f"host {host_id}/{host_count} got no shards "
+                f"({len(expand_shard_patterns(patterns))} total) — need at "
+                f"least one shard per host"
+            )
     rng = random.Random(seed)
     epoch = 0
     while True:

@@ -215,6 +215,22 @@ class Trainer:
         step = start_step
         t0 = time.time()
         images_seen = 0
+
+        # Preemption safety (SURVEY.md §5 failure detection): checkpoint on
+        # SIGTERM so a maintenance event or scheduler kill resumes cleanly.
+        import signal
+
+        self._interrupted = False
+
+        def _on_sigterm(signum, frame):
+            self._interrupted = True
+            self.log("SIGTERM received; checkpointing at next step")
+
+        old_handler = None
+        try:
+            old_handler = signal.signal(signal.SIGTERM, _on_sigterm)
+        except ValueError:
+            pass  # not the main thread (tests)
         try:
             while step < total_steps:
                 batcher = self._batcher(
@@ -255,6 +271,13 @@ class Trainer:
                     if tp.val_every_steps and step % tp.val_every_steps == 0:
                         self.log(f"val @ {step}: "
                                  f"{self.validate(state, eval_fn)}")
+                    if self._interrupted:
+                        self._checkpoint(state, step, eval_fn,
+                                         val_metrics={})
+                        self.ckpt.wait()
+                        self.log(f"checkpointed at step {step} after "
+                                 "SIGTERM; exiting")
+                        return state
                     if step >= total_steps:
                         break
                 else:
@@ -267,6 +290,11 @@ class Trainer:
         finally:
             if tp.profile_dir:
                 jax.profiler.stop_trace()
+            if old_handler is not None:
+                try:
+                    signal.signal(signal.SIGTERM, old_handler)
+                except ValueError:
+                    pass
         self._checkpoint(state, step, eval_fn)
         self.ckpt.wait()
         return state

@@ -78,6 +78,27 @@ class TestShards:
         with pytest.raises(FileNotFoundError):
             list(shards.iter_records(["/nonexistent/*.msgpack"]))
 
+    def test_host_sharding_partitions_shards(self, shard_dir):
+        # per-host strided subsets are disjoint and cover everything
+        root, n = shard_dir
+        pat = [f"{root}/*.msgpack"]
+        all_ids = {r["id"] for r in shards.iter_records(pat)}
+        seen = []
+        for h in range(3):
+            ids = {r["id"] for r in shards.iter_records(
+                pat, host_id=h, host_count=3)}
+            seen.append(ids)
+        assert set.union(*seen) == all_ids
+        for a in range(3):
+            for b in range(a + 1, 3):
+                assert not (seen[a] & seen[b])
+
+    def test_host_sharding_too_many_hosts(self, shard_dir):
+        root, _ = shard_dir
+        with pytest.raises(ValueError, match="no shards"):
+            list(shards.iter_records([f"{root}/*.msgpack"], host_id=5,
+                                     host_count=8))
+
 
 class TestShardBatcher:
     def test_batches_from_latlng(self, shard_dir, geo_parts):
