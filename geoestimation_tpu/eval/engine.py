@@ -59,11 +59,14 @@ class InferenceEngine:
         search_dirs: Sequence[str] = (),
         fast: bool = False,
         use_pallas: bool = False,
+        layout=None,
     ):
         """fast=True folds BatchNorm into conv weights at load time
         (models/fast_infer.py) — identical predictions up to bf16 rounding;
         use_pallas additionally routes stride-1 bottlenecks through the
-        fused kernel (base classifier only)."""
+        fused kernel (base classifier only). layout: optional
+        parallel.MeshLayout — eval batches shard over its data axis (the
+        TTA crop axis folds into batch and shards with it)."""
         mp = config.model_params
         if partitionings is None:
             paths = resolve_partitioning_paths(
@@ -99,6 +102,12 @@ class InferenceEngine:
                 n_classes=tuple(len(p) for p in partitionings),
                 use_pallas=use_pallas,
             )
+        self.layout = layout
+        if layout is not None:
+            self.variables = jax.device_put(
+                self.variables,
+                jax.tree.map(lambda _: layout.replicated(), self.variables),
+            )
         self._forward = jax.jit(
             functools.partial(self._forward_impl, n_crops=n_crops, crop=crop)
         )
@@ -118,7 +127,10 @@ class InferenceEngine:
 
     def predict_batch(self, images_u8: np.ndarray):
         """uint8 (B, base, base, 3) -> {p_key: (cls, lat, lng)} numpy."""
-        preds = self._forward(self.variables, jnp.asarray(images_u8))
+        images = jnp.asarray(images_u8)
+        if self.layout is not None:
+            images = jax.device_put(images, self.layout.batch())
+        preds = self._forward(self.variables, images)
         return jax.tree.map(np.asarray, preds)
 
     # -- folder-level drivers ------------------------------------------------

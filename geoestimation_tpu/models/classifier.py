@@ -59,9 +59,11 @@ class MultiPartitioningClassifier(nn.Module):
     n_classes: Sequence[int]
     arch: str = "resnet50"
     dtype: Any = jnp.bfloat16
+    remat: bool = False
 
     def setup(self):
-        self.backbone = build_backbone(self.arch, dtype=self.dtype)
+        self.backbone = build_backbone(self.arch, dtype=self.dtype,
+                                       remat=self.remat)
         self.heads = MultiHeadClassifier(n_classes=tuple(self.n_classes))
 
     def __call__(self, images, train: bool = False):

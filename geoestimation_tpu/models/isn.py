@@ -41,9 +41,11 @@ class ISNClassifier(nn.Module):
     n_scenes: int = 3
     arch: str = "resnet50"
     dtype: Any = jnp.bfloat16
+    remat: bool = False
 
     def setup(self):
-        self.backbone = build_backbone(self.arch, dtype=self.dtype)
+        self.backbone = build_backbone(self.arch, dtype=self.dtype,
+                                       remat=self.remat)
         self.scene_head = nn.Dense(
             self.n_scenes, dtype=jnp.float32, name="scene_head"
         )

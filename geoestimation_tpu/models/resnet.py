@@ -72,6 +72,10 @@ class ResNet(nn.Module):
     dtype: Any = jnp.bfloat16
     bn_momentum: float = 0.9
     bn_epsilon: float = 1e-5
+    # Rematerialize each residual block on the backward pass: trades ~30%
+    # more FLOPs for O(depth) less activation HBM — the knob that lets
+    # ResNet101 x large global batches fit (jax.checkpoint under the hood).
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -91,11 +95,12 @@ class ResNet(nn.Module):
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
 
+        block_cls = nn.remat(Bottleneck) if self.remat else Bottleneck
         for stage, num_blocks in enumerate(self.stage_sizes):
             features = 64 * (2 ** stage)
             for block in range(num_blocks):
                 strides = 2 if stage > 0 and block == 0 else 1
-                x = Bottleneck(
+                x = block_cls(
                     features=features,
                     strides=strides,
                     dtype=self.dtype,

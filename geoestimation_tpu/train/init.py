@@ -19,10 +19,10 @@ def model_from_config(config, partitionings):
 
         return ISNClassifier(
             n_classes=n_classes, n_scenes=mp.n_scenes, arch=mp.arch,
-            dtype=dtype,
+            dtype=dtype, remat=mp.remat,
         )
     return MultiPartitioningClassifier(
-        n_classes=n_classes, arch=mp.arch, dtype=dtype,
+        n_classes=n_classes, arch=mp.arch, dtype=dtype, remat=mp.remat,
     )
 
 

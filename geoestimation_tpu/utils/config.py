@@ -34,6 +34,9 @@ class ModelConfig:
     # ISN variant (reference README.md:187): scene-gated heads.
     scene_gating: bool = False
     n_scenes: int = 3
+    # jax.checkpoint each residual block (memory for FLOPs; enables
+    # ResNet101 at large per-chip batch).
+    remat: bool = False
 
 
 @dataclass
