@@ -33,6 +33,8 @@ def build_parser():
                    help="accepted for reference CLI compatibility; ignored")
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend (debug)")
+    p.add_argument("--fast", action="store_true",
+                   help="fold BatchNorm into conv weights at load")
     return p
 
 
@@ -62,6 +64,7 @@ def main(argv=None):
         dtype=jnp.bfloat16 if args.precision == 16 else jnp.float32,
         search_dirs=[os.path.dirname(os.path.abspath(args.checkpoint)),
                      args.checkpoint, os.getcwd()],
+        fast=args.fast,
     )
     all_results = {}
     for image_dir, meta_file in zip(args.image_dirs, args.meta_files):
