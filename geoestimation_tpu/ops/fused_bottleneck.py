@@ -67,13 +67,15 @@ def _bottleneck_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref,
     """npi image planes per grid step.
 
     Padded-width formulation: activations are carried at width `wp`
-    (w rounded up to a multiple of 8, +2 halo, e.g. 56 -> 64) with zero
-    border columns, so the 3x3 conv is 9 plain matmuls over views of one
+    (w+2 rounded up to a multiple of 8, e.g. 56 -> 64) with zero columns
+    beyond w, so the 3x3 conv is 9 plain matmuls over views of one
     zero-padded buffer — row taps are free slices of the untiled H axis,
-    column taps are sublane rotations that pull the zero borders in. No
-    masks (measured pathological on v5e), no non-tile-preserving reshapes
-    (wp is a multiple of 8), and exactly 3 sublane-offset copies per step
-    (x pad-in is avoided; y1 pad-in and the final slice-out are the two).
+    column taps are sublane rotations whose wrap-around pulls only zeros
+    (cols [w, wp) are zero, and rotating by ±1 moves a zero column across
+    the seam). No masks (measured pathological on v5e), no
+    non-tile-preserving reshapes (wp multiple of 8), and no sublane-offset
+    copies at all: y1 is stored at column 0 so both the pad-in write and
+    the final slice-out are tile-aligned.
 
     Shapes:
       x_ref:    (npi, H, W, Cin)        bf16
@@ -94,9 +96,10 @@ def _bottleneck_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref,
     y1 = jnp.dot(x2d, w1_ref[:], preferred_element_type=jnp.float32)
     y1 = jnp.maximum(y1 + b1_ref[:], 0.0).astype(jnp.bfloat16)
 
-    # Zero-pad into (H+2, wp): valid data at rows [1, H+1), cols [1, w+1).
+    # Zero-pad into (H+2, wp): valid data at rows [1, H+1), cols [0, w) —
+    # column offset 0 keeps the write tile-aligned (w is a multiple of 8).
     ppad_ref[:] = jnp.zeros_like(ppad_ref)
-    ppad_ref[:, 1:h + 1, 1:w + 1, :] = y1.reshape(npi, h, w, cmid)
+    ppad_ref[:, 1:h + 1, 0:w, :] = y1.reshape(npi, h, w, cmid)
 
     # conv2 (3x3): 3 column rotations of the padded buffer (zero borders
     # make wrap-around harmless), 3 free row slices each, fp32 acc over
@@ -113,10 +116,11 @@ def _bottleneck_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref,
     y2 = jnp.maximum(acc + b2_ref[:], 0.0).astype(jnp.bfloat16)
 
     # conv3 (1x1) + bias on the padded grid (garbage columns are dropped
-    # by the final slice; they never feed neighboring positions).
+    # by the final slice; they never feed neighboring positions). The
+    # slice [0, w) is tile-aligned.
     y3 = jnp.dot(y2, w3_ref[:], preferred_element_type=jnp.float32)
     y3 = (y3 + b3_ref[:]).reshape(npi, h, wp, cout)
-    y3v = y3[:, :, 1:w + 1, :].reshape(rows, cout)
+    y3v = y3[:, :, 0:w, :].reshape(rows, cout)
 
     # residual
     if has_downsample:
