@@ -1,0 +1,118 @@
+"""Dynamic-batching inference server tests (in-process HTTP)."""
+
+import io
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from geoestimation_tpu.serve import GeoInferenceServer, MicroBatcher
+
+RNG = np.random.default_rng(0)
+
+
+def jpeg_bytes():
+    arr = RNG.integers(0, 255, (300, 280, 3), dtype=np.uint8)
+    b = io.BytesIO()
+    Image.fromarray(arr).save(b, format="JPEG", quality=88)
+    return b.getvalue()
+
+
+class TestMicroBatcher:
+    def test_batches_concurrent_requests(self):
+        calls = []
+
+        def fake_predict(images):
+            calls.append(images.shape[0])
+            n = images.shape[0]
+            return {"hierarchy": (np.zeros(n, np.int32),
+                                  np.full(n, 1.0, np.float32),
+                                  np.full(n, 2.0, np.float32))}
+
+        mb = MicroBatcher(fake_predict, batch_size=4, max_wait_ms=50,
+                          base_size=8)
+        imgs = [np.full((8, 8, 3), i, np.uint8) for i in range(6)]
+        results = [None] * 6
+
+        def work(i):
+            results[i] = mb.submit(imgs[i])
+
+        threads = [threading.Thread(target=work, args=(i,))
+                   for i in range(6)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        mb.close()
+        assert all(r["hierarchy"]["lat"] == 1.0 for r in results)
+        stats = mb.stats()
+        assert stats["requests"] == 6
+        # 6 concurrent requests with batch_size=4 -> at most 3 batches
+        assert stats["batches"] <= 3
+
+    def test_error_propagates(self):
+        def boom(images):
+            raise RuntimeError("device on fire")
+
+        mb = MicroBatcher(boom, batch_size=2, max_wait_ms=1, base_size=4)
+        with pytest.raises(RuntimeError, match="device on fire"):
+            mb.submit(np.zeros((4, 4, 3), np.uint8))
+        mb.close()
+
+
+@pytest.fixture(scope="module")
+def server(geo_parts):
+    from geoestimation_tpu.eval.engine import InferenceEngine
+    from geoestimation_tpu.train.init import init_model_state
+    from geoestimation_tpu.utils.config import Config
+
+    config = Config()
+    config.model_params.partitionings.files = []
+    _, state = init_model_state(config, geo_parts, seed=0, image_size=64)
+    engine = InferenceEngine(config, state, partitionings=geo_parts,
+                             n_crops=1)
+    srv = GeoInferenceServer(engine, port=0, batch_size=4, max_wait_ms=20)
+    srv.start_background()
+    yield srv
+    srv.close()
+
+
+class TestHTTP:
+    def url(self, server, path):
+        return f"http://127.0.0.1:{server.port}{path}"
+
+    def test_healthz(self, server):
+        with urllib.request.urlopen(self.url(server, "/healthz")) as r:
+            data = json.loads(r.read())
+        assert data["status"] == "ok"
+        assert data["partitionings"] == ["coarse", "middle", "fine",
+                                         ][:len(data["partitionings"])]
+
+    def test_predict(self, server):
+        req = urllib.request.Request(
+            self.url(server, "/predict"), data=jpeg_bytes(), method="POST"
+        )
+        with urllib.request.urlopen(req, timeout=60) as r:
+            data = json.loads(r.read())
+        preds = data["predictions"]
+        assert set(preds) == {"coarse", "middle", "fine", "hierarchy"}
+        for v in preds.values():
+            assert set(v) == {"class", "lat", "lng"}
+            assert -90 <= v["lat"] <= 90
+
+    def test_bad_image_400(self, server):
+        req = urllib.request.Request(
+            self.url(server, "/predict"), data=b"not a jpeg",
+            method="POST",
+        )
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(req, timeout=30)
+        assert e.value.code == 400
+
+    def test_stats(self, server):
+        with urllib.request.urlopen(self.url(server, "/stats")) as r:
+            data = json.loads(r.read())
+        assert data["requests"] >= 1
