@@ -96,7 +96,11 @@ class ShardBatcher:
         scene_map: Optional[dict] = None,
         host_id: Optional[int] = None,
         host_count: Optional[int] = None,
+        shuffle_mode: str = "buffer",
     ):
+        """shuffle_mode: 'buffer' streams shards with a shuffle buffer
+        (constant memory); 'global' builds a byte-offset index and visits
+        records in an exact per-epoch permutation (random IO)."""
         if partitionings is None and label_map is None:
             raise ValueError("need partitionings or label_map for labels")
         self.patterns = list(shard_patterns)
@@ -121,6 +125,9 @@ class ShardBatcher:
             host_count = jax.process_count()
         self.host_id = host_id
         self.host_count = host_count
+        if shuffle_mode not in ("buffer", "global"):
+            raise ValueError(f"unknown shuffle_mode {shuffle_mode!r}")
+        self.shuffle_mode = shuffle_mode
         self.n_partitionings = (
             len(partitionings) if partitionings is not None
             else len(next(iter(label_map.values())))
@@ -148,14 +155,35 @@ class ShardBatcher:
                 latlng[has, 1] = lng
         return labels, latlng
 
-    def _produce(self, q):
-        try:
-            pending = []
-            for rec in shards.iter_records(
+    def _iter_source(self):
+        if self.shuffle and self.shuffle_mode == "global":
+            import random
+
+            source = shards.MsgpackDataSource(self.patterns)
+            # host-sharded strided subset of the global index
+            indices = list(range(self.host_id, len(source),
+                                 self.host_count))
+            rng = random.Random(self.seed)
+            epoch = 0
+            while True:
+                rng.shuffle(indices)
+                for i in indices:
+                    yield source[i]
+                epoch += 1
+                if not self.repeat:
+                    source.close()
+                    return
+        else:
+            yield from shards.iter_records(
                 self.patterns, shuffle=self.shuffle, seed=self.seed,
                 repeat=self.repeat, host_id=self.host_id,
                 host_count=self.host_count,
-            ):
+            )
+
+    def _produce(self, q):
+        try:
+            pending = []
+            for rec in self._iter_source():
                 pending.append(rec)
                 if len(pending) < self.batch_size:
                     continue

@@ -141,3 +141,75 @@ def iter_records(
 
 def count_records(patterns: Sequence[str]) -> int:
     return sum(1 for _ in iter_records(patterns))
+
+
+# ---------------------------------------------------------------------------
+# Random access: byte-offset index -> true global shuffle / grain interop
+# ---------------------------------------------------------------------------
+
+
+def build_index(patterns: Sequence[str]):
+    """Byte-offset index over shards: list of (path, offset) per record.
+
+    One sequential pass (msgpack framing is self-delimiting); afterwards
+    any record is a seek+unpack away — enabling exact global shuffles and
+    random-access data sources (e.g. grain) instead of the approximate
+    shuffle buffer.
+    """
+    paths = expand_shard_patterns(patterns)
+    if not paths:
+        raise FileNotFoundError(f"no shards match {list(patterns)!r}")
+    index = []
+    for path in paths:
+        with open(path, "rb") as f:
+            unpacker = msgpack.Unpacker(f, raw=True, max_buffer_size=0)
+            offset = 0
+            try:
+                while True:
+                    raw = unpacker.unpack()
+                    next_offset = unpacker.tell()
+                    if normalize_record(raw) is not None:
+                        index.append((path, offset))
+                    offset = next_offset
+            except msgpack.OutOfData:
+                pass
+    return index
+
+
+def read_record_at(path: str, offset: int) -> dict:
+    with open(path, "rb") as f:
+        f.seek(offset)
+        unpacker = msgpack.Unpacker(f, raw=True, max_buffer_size=0)
+        return normalize_record(unpacker.unpack())
+
+
+class MsgpackDataSource:
+    """Random-access data source over msgpack shards.
+
+    Implements the `grain.RandomAccessDataSource` protocol (__len__ /
+    __getitem__), so it plugs into grain loaders directly, and doubles as
+    the global-shuffle backend for `ShardBatcher(shuffle_mode="global")`.
+    Keeps one open file handle per shard (cheap; shards are O(100s)).
+    """
+
+    def __init__(self, patterns: Sequence[str]):
+        self.index = build_index(patterns)
+        self._handles = {}
+
+    def __len__(self):
+        return len(self.index)
+
+    def __getitem__(self, i: int) -> dict:
+        path, offset = self.index[int(i)]
+        f = self._handles.get(path)
+        if f is None:
+            f = open(path, "rb")
+            self._handles[path] = f
+        f.seek(offset)
+        unpacker = msgpack.Unpacker(f, raw=True, max_buffer_size=0)
+        return normalize_record(unpacker.unpack())
+
+    def close(self):
+        for f in self._handles.values():
+            f.close()
+        self._handles.clear()
