@@ -90,16 +90,19 @@ def main():
         rng.integers(0, 255, (batch, 256, 256, 3), dtype=np.uint8)
     )
 
-    # Warmup / compile.
+    # Warmup / compile. Use device_get (scalar readback) as the fence:
+    # on the tunneled axon platform block_until_ready can return before
+    # device completion; a readback cannot. Its RTT is amortized over
+    # `iters` in the timed section.
     out = forward(variables, images)
-    jax.block_until_ready(out)
+    jax.device_get(jax.tree.leaves(out)[0][:1])
     out = forward(variables, images)
-    jax.block_until_ready(out)
+    jax.device_get(jax.tree.leaves(out)[0][:1])
 
     t0 = time.perf_counter()
     for _ in range(iters):
         out = forward(variables, images)
-    jax.block_until_ready(out)
+    jax.device_get(jax.tree.leaves(out)[0][:1])
     dt = time.perf_counter() - t0
 
     images_per_sec = batch * iters / dt
