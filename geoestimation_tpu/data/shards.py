@@ -213,3 +213,12 @@ class MsgpackDataSource:
         for f in self._handles.values():
             f.close()
         self._handles.clear()
+
+    # grain dispatches to worker processes: drop open handles on pickle
+    # (each worker lazily reopens its own).
+    def __getstate__(self):
+        return {"index": self.index}
+
+    def __setstate__(self, state):
+        self.index = state["index"]
+        self._handles = {}

@@ -88,8 +88,8 @@ class TestHTTP:
         with urllib.request.urlopen(self.url(server, "/healthz")) as r:
             data = json.loads(r.read())
         assert data["status"] == "ok"
-        assert data["partitionings"] == ["coarse", "middle", "fine",
-                                         ][:len(data["partitionings"])]
+        assert data["partitionings"] == ["coarse", "middle", "fine"]
+        assert data["devices"]
 
     def test_predict(self, server):
         req = urllib.request.Request(
