@@ -44,6 +44,9 @@ def build_parser():
                         "(identical predictions up to bf16 rounding)")
     p.add_argument("--pallas", action="store_true",
                    help="with --fast: fused Pallas bottleneck blocks")
+    p.add_argument("--exact_tta", action="store_true",
+                   help="torchvision-exact host ten-crop geometry (strict "
+                        "parity for imported reference checkpoints)")
     return p
 
 
@@ -68,6 +71,7 @@ def main(argv=None):
                      args.checkpoint, os.getcwd()],
         fast=args.fast,
         use_pallas=args.pallas,
+        tta_mode="host_exact" if args.exact_tta else "device",
     )
     df = engine.predict_dir(args.image_dir, batch_size=args.batch_size,
                             num_workers=args.num_workers)

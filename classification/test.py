@@ -35,6 +35,8 @@ def build_parser():
                    help="force the CPU backend (debug)")
     p.add_argument("--fast", action="store_true",
                    help="fold BatchNorm into conv weights at load")
+    p.add_argument("--exact_tta", action="store_true",
+                   help="torchvision-exact host ten-crop geometry")
     return p
 
 
@@ -65,6 +67,7 @@ def main(argv=None):
         search_dirs=[os.path.dirname(os.path.abspath(args.checkpoint)),
                      args.checkpoint, os.getcwd()],
         fast=args.fast,
+        tta_mode="host_exact" if args.exact_tta else "device",
     )
     all_results = {}
     for image_dir, meta_file in zip(args.image_dirs, args.meta_files):

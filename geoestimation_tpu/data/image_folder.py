@@ -46,11 +46,17 @@ def iter_image_folder(
     resize_to: int = 256,
     num_workers: Optional[int] = None,
     prefetch: int = 2,
+    tencrop_host: bool = False,
+    crop: int = 224,
 ) -> Iterator[EvalBatch]:
     """Decode-and-batch iterator with background prefetch.
 
     The decode of batch k+1 overlaps the device compute of batch k: batches
     are produced by a worker thread into a bounded queue.
+
+    tencrop_host=True yields torchvision-exact host ten-crops
+    (B, 10, crop, crop, 3) instead of (B, base, base, 3) squares — the
+    strict-parity path for imported reference checkpoints.
     """
     paths = list_images(image_dir)
     if not paths:
@@ -63,10 +69,16 @@ def iter_image_folder(
             for start in range(0, len(paths), batch_size):
                 chunk = paths[start:start + batch_size]
                 blobs = decode.read_files(chunk)
-                images, ok = decode.decode_batch(
-                    blobs, resize_to=resize_to, base_size=base_size,
-                    num_threads=num_workers,
-                )
+                if tencrop_host:
+                    images, ok = decode.decode_batch_tencrop(
+                        blobs, resize_to=resize_to, crop=crop,
+                        num_threads=num_workers,
+                    )
+                else:
+                    images, ok = decode.decode_batch(
+                        blobs, resize_to=resize_to, base_size=base_size,
+                        num_threads=num_workers,
+                    )
                 ids = [os.path.basename(p) for p in chunk]
                 pad = batch_size - len(chunk)
                 if pad:

@@ -60,13 +60,17 @@ class InferenceEngine:
         fast: bool = False,
         use_pallas: bool = False,
         layout=None,
+        tta_mode: str = "device",
     ):
         """fast=True folds BatchNorm into conv weights at load time
         (models/fast_infer.py) — identical predictions up to bf16 rounding;
         use_pallas additionally routes stride-1 bottlenecks through the
         fused kernel (base classifier only). layout: optional
         parallel.MeshLayout — eval batches shard over its data axis (the
-        TTA crop axis folds into batch and shards with it)."""
+        TTA crop axis folds into batch and shards with it).
+        tta_mode: 'device' (default — crops from a 256 square inside jit)
+        or 'host_exact' (torchvision-exact host ten-crop geometry for
+        strict parity on non-square images; forces n_crops=10)."""
         mp = config.model_params
         if partitionings is None:
             paths = resolve_partitioning_paths(
@@ -102,6 +106,11 @@ class InferenceEngine:
                 n_classes=tuple(len(p) for p in partitionings),
                 use_pallas=use_pallas,
             )
+        if tta_mode not in ("device", "host_exact"):
+            raise ValueError(f"unknown tta_mode {tta_mode!r}")
+        self.tta_mode = tta_mode
+        if tta_mode == "host_exact":
+            self.n_crops = n_crops = 10
         self.layout = layout
         if layout is not None:
             self.variables = jax.device_put(
@@ -114,8 +123,18 @@ class InferenceEngine:
 
     def _forward_impl(self, variables, images_u8, n_crops, crop):
         with jax.named_scope("ingest"):
-            x = eval_pipeline(images_u8, n_crops=n_crops, crop=crop,
-                              dtype=self.model.dtype)
+            if images_u8.ndim == 5:
+                # host-precropped (B, n_crops, crop, crop, 3): normalize
+                # only, fold crops into batch
+                from ..ingest.pipeline import normalize
+
+                x = normalize(
+                    images_u8.reshape((-1,) + images_u8.shape[-3:]),
+                    self.model.dtype,
+                )
+            else:
+                x = eval_pipeline(images_u8, n_crops=n_crops, crop=crop,
+                                  dtype=self.model.dtype)
         with jax.named_scope("backbone_heads"):
             if self._fast_apply is not None:
                 logits = self._fast_apply(x)
@@ -142,8 +161,10 @@ class InferenceEngine:
         from ..data.image_folder import iter_image_folder
 
         rows = []
-        for batch in iter_image_folder(image_dir, batch_size=batch_size,
-                                       num_workers=num_workers):
+        for batch in iter_image_folder(
+            image_dir, batch_size=batch_size, num_workers=num_workers,
+            tencrop_host=(self.tta_mode == "host_exact"), crop=self.crop,
+        ):
             preds = self.predict_batch(batch.images)
             for key, (cls, lat, lng) in preds.items():
                 for i, img_id in enumerate(batch.ids):
@@ -177,8 +198,10 @@ class InferenceEngine:
         }
         accs = {}
         n_missing = 0
-        for batch in iter_image_folder(image_dir, batch_size=batch_size,
-                                       num_workers=num_workers):
+        for batch in iter_image_folder(
+            image_dir, batch_size=batch_size, num_workers=num_workers,
+            tencrop_host=(self.tta_mode == "host_exact"), crop=self.crop,
+        ):
             true_lat = np.zeros(len(batch.ids), np.float32)
             true_lng = np.zeros(len(batch.ids), np.float32)
             valid = np.array(batch.valid, copy=True)

@@ -97,6 +97,54 @@ def decode_batch(
     return out, ok
 
 
+def decode_pil_tencrop(data: bytes, resize_to=DEFAULT_RESIZE, crop=224):
+    """bytes -> (10, crop, crop, 3) uint8 with torchvision-exact geometry.
+
+    Resize shorter side to `resize_to`, then TenCrop on the full resized
+    rectangle (4 corners + center of the W x resize_to / resize_to x H
+    image, plus horizontal flips) — the reference eval transform
+    (SURVEY.md §3.1 dataset row). The default device path crops a center
+    square first (static shapes); this host path exists for bit-parity
+    evaluation of imported reference checkpoints on non-square images
+    (docs/MIGRATION.md difference #2).
+    """
+    img = Image.open(io.BytesIO(data)).convert("RGB")
+    w, h = img.size
+    scale = resize_to / min(w, h)
+    nw = max(int(round(w * scale)), resize_to)
+    nh = max(int(round(h * scale)), resize_to)
+    img = img.resize((nw, nh), Image.BILINEAR)
+    arr = np.asarray(img, dtype=np.uint8)
+    cc_top, cc_left = (nh - crop) // 2, (nw - crop) // 2
+    offsets = [
+        (0, 0), (0, nw - crop), (nh - crop, 0), (nh - crop, nw - crop),
+        (cc_top, cc_left),
+    ]
+    crops = [arr[t:t + crop, l:l + crop] for t, l in offsets]
+    crops += [c[:, ::-1] for c in crops]
+    return np.stack(crops)
+
+
+def decode_batch_tencrop(blobs, resize_to=DEFAULT_RESIZE, crop=224,
+                         num_threads: Optional[int] = None):
+    """Decode + exact ten-crop many blobs -> ((N, 10, crop, crop, 3), ok)."""
+    n = len(blobs)
+    out = np.zeros((n, 10, crop, crop, 3), dtype=np.uint8)
+    ok = np.zeros(n, dtype=bool)
+
+    def work(i):
+        try:
+            out[i] = decode_pil_tencrop(blobs[i], resize_to, crop)
+            ok[i] = True
+        except Exception:
+            pass
+
+    workers = num_threads or min(16, (os.cpu_count() or 1) * 2)
+    with cf.ThreadPoolExecutor(workers) as ex:
+        list(ex.map(work, range(n)))
+    return out, ok
+
+
 def read_files(paths: Iterable[str]):
     blobs = []
     for p in paths:

@@ -59,6 +59,57 @@ class TestDecode:
         np.testing.assert_array_equal(img, arr[:, 128:384])
 
 
+class TestExactTenCrop:
+    def test_geometry_on_nonsquare(self):
+        from geoestimation_tpu.ingest.decode import decode_pil_tencrop
+
+        rng = np.random.default_rng(0)
+        arr = rng.integers(0, 255, (256, 512, 3), dtype=np.uint8)
+        buf = io.BytesIO()
+        Image.fromarray(arr).save(buf, format="PNG")
+        crops = decode_pil_tencrop(buf.getvalue())
+        assert crops.shape == (10, 224, 224, 3)
+        # shorter side already 256 -> no resize; corners come from the FULL
+        # 512-wide image, not a center square
+        np.testing.assert_array_equal(crops[0], arr[:224, :224])
+        np.testing.assert_array_equal(crops[1], arr[:224, 512 - 224:])
+        np.testing.assert_array_equal(crops[4],
+                                      arr[16:240, 144:368])  # center
+        np.testing.assert_array_equal(crops[5], crops[0][:, ::-1])
+
+    def test_batch_and_engine_path(self, ):
+        from geoestimation_tpu.ingest.decode import decode_batch_tencrop
+
+        rng = np.random.default_rng(1)
+        blobs = []
+        for i in range(3):
+            arr = rng.integers(0, 255, (300, 280, 3), dtype=np.uint8)
+            b = io.BytesIO()
+            Image.fromarray(arr).save(b, format="JPEG")
+            blobs.append(b.getvalue())
+        blobs.append(b"bad")
+        out, ok = decode_batch_tencrop(blobs)
+        assert out.shape == (4, 10, 224, 224, 3)
+        np.testing.assert_array_equal(ok, [True, True, True, False])
+
+    def test_square_matches_device_path(self):
+        # for a square image the exact host crops equal the device path's
+        # crops from the 256 center square
+        from geoestimation_tpu.ingest.decode import (
+            decode_pil,
+            decode_pil_tencrop,
+        )
+
+        rng = np.random.default_rng(2)
+        arr = rng.integers(0, 255, (256, 256, 3), dtype=np.uint8)
+        buf = io.BytesIO()
+        Image.fromarray(arr).save(buf, format="PNG")
+        host = decode_pil_tencrop(buf.getvalue())
+        square = decode_pil(buf.getvalue())
+        device = np.asarray(ten_crop(jnp.asarray(square[None]), 224))[0]
+        np.testing.assert_array_equal(host, device)
+
+
 class TestDevicePipeline:
     def test_normalize_values(self):
         u8 = jnp.full((1, 4, 4, 3), 255, jnp.uint8)
