@@ -98,7 +98,12 @@ def _bottleneck_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref,
 
     # Zero-pad into (H+2, wp): valid data at rows [1, H+1), cols [0, w) —
     # column offset 0 keeps the write tile-aligned (w is a multiple of 8).
-    ppad_ref[:] = jnp.zeros_like(ppad_ref)
+    # Scratch persists across grid steps and only the valid region is ever
+    # rewritten, so the zero borders need initializing once.
+    @pl.when(pl.program_id(0) == 0)
+    def _init_pad():
+        ppad_ref[:] = jnp.zeros_like(ppad_ref)
+
     ppad_ref[:, 1:h + 1, 0:w, :] = y1.reshape(npi, h, w, cmid)
 
     # conv2 (3x3): 3 column rotations of the padded buffer (zero borders

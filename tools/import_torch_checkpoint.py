@@ -24,7 +24,6 @@ from __future__ import annotations
 
 import argparse
 import os
-import re
 import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
@@ -117,10 +116,6 @@ def find_heads(sd, n_classes):
             )
         # take them in encounter order (ModuleList order == partitioning
         # order in the reference)
-        def order_key(item):
-            m = re.search(r"(\d+)", item[0][::-1])
-            return item[0]
-
         base, w, b = candidates[n].pop(0)
         kernels.append(np.transpose(w).astype(np.float32))  # (in, out)
         biases.append((b if b is not None else np.zeros(n)).astype(np.float32))
