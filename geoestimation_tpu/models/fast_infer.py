@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.fused_bottleneck import fold_bn, fused_bottleneck
+from ..ops.fused_bottleneck import fold_bn, fused_bottleneck, fused_bottleneck_s2
 
 
 def _fold_block(params, stats, eps=1e-5):
@@ -79,11 +79,20 @@ def _xla_block(x, fb, stride):
     return jnp.maximum(y + res, 0).astype(jnp.bfloat16)
 
 
-def _pallas_block(x, fb, images_per_tile):
+def _pallas_block(x, fb, images_per_tile, stride=1):
     w1, b1 = fb["conv1"]
     w2, b2 = fb["conv2"]
     w3, b3 = fb["conv3"]
     wd, bd = fb.get("downsample", (None, None))
+    if stride == 2:
+        return fused_bottleneck_s2(
+            x,
+            w1.reshape(w1.shape[-2], w1.shape[-1]), b1,
+            w2, b2,
+            w3.reshape(w3.shape[-2], w3.shape[-1]), b3,
+            wd.reshape(wd.shape[-2], wd.shape[-1]), bd,
+            images_per_tile=images_per_tile,
+        )
     return fused_bottleneck(
         x,
         w1.reshape(w1.shape[-2], w1.shape[-1]), b1,
@@ -104,7 +113,7 @@ PALLAS_STAGES = {0: 1, 1: 2}
 
 
 def build_fast_apply(variables, arch="resnet50", n_classes=None,
-                     use_pallas=True, eps=1e-5):
+                     use_pallas=True, use_pallas_s2=False, eps=1e-5):
     """Returns `apply(images_u8_or_f32) -> [per-head fp32 logits]`.
 
     `images` must already be normalized (use ingest.pipeline); shape
@@ -131,11 +140,13 @@ def build_fast_apply(variables, arch="resnet50", n_classes=None,
             name = f"layer{stage + 1}_block{bidx}"
             fb = _fold_block(bb_p[name], bb_s[name], eps)
             stride = 2 if stage > 0 and bidx == 0 else 1
-            pallas_ok = (
-                use_pallas and stride == 1 and stage in PALLAS_STAGES
+            pallas_ok = use_pallas and (
+                (stride == 1 and stage in PALLAS_STAGES)
+                or (stride == 2 and use_pallas_s2)
             )
             blocks.append((fb, stride, pallas_ok,
-                           PALLAS_STAGES.get(stage, 1)))
+                           PALLAS_STAGES.get(stage, 1) if stride == 1
+                           else 1))
 
     head_kernel = jnp.asarray(params["heads"]["fused_head"]["kernel"],
                               jnp.bfloat16)
@@ -161,8 +172,8 @@ def build_fast_apply(variables, arch="resnet50", n_classes=None,
             ((0, 0), (1, 1), (1, 1), (0, 0)),
         ).astype(jnp.bfloat16)
         for fb, stride, pallas_ok, npi in blocks:
-            if pallas_ok and x.shape[0] % npi == 0:
-                x = _pallas_block(x, fb, npi)
+            if pallas_ok and x.shape[0] % npi == 0 and x.shape[2] % 8 == 0:
+                x = _pallas_block(x, fb, npi, stride=stride)
             else:
                 x = _xla_block(x, fb, stride)
         feats = jnp.mean(x, axis=(1, 2), dtype=jnp.float32)

@@ -221,14 +221,136 @@ def fused_bottleneck(x, w1, b1, w2, b2, w3, b3, wd=None, bd=None,
     )
 
 
-def xla_bottleneck_reference(x, w1, b1, w2, b2, w3, b3, wd=None, bd=None):
+def _bottleneck_s2_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref,
+                          b3_ref, wd_ref, bd_ref, out_ref, ppad_ref, *,
+                          npi, h, w, wp, cmid, cout, interpret):
+    """Stride-2 bottleneck (stage entries: conv2 stride 2 + strided
+    downsample projection). Same padded-width/no-mask scheme as stride 1;
+    the stride enters as a one-time column deinterleave of the rolled
+    padded buffer (even/odd planes) plus strided row slices of the untiled
+    H axis — taps stay plain matmuls, wrap-around still touches only
+    zeros. Output carried at padded width wp/2.
+
+    Shapes: x (npi, H, W, Cin) -> out (npi, H/2, W/2, Cout); wd required.
+    """
+    cin = x_ref.shape[-1]
+    h2, w2 = h // 2, w // 2
+    wp2 = wp // 2
+    rows_in = npi * h * w
+    rows_out = npi * h2 * wp2
+    x2d = x_ref[:].reshape(rows_in, cin)
+
+    y1 = jnp.dot(x2d, w1_ref[:], preferred_element_type=jnp.float32)
+    y1 = jnp.maximum(y1 + b1_ref[:], 0.0).astype(jnp.bfloat16)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init_pad():
+        ppad_ref[:] = jnp.zeros_like(ppad_ref)
+
+    ppad_ref[:, 1:h + 1, 0:w, :] = y1.reshape(npi, h, w, cmid)
+
+    # Q[c] = P[c-1]: aligns column parity so tap dx reads
+    # Q[2*w_ + dx] = y1 col (2*w_ + dx - 1); Q[0] pulls a zero pad column.
+    q = _roll_w(ppad_ref[:].astype(jnp.float32), 1, interpret)
+    q = q.astype(jnp.bfloat16)
+    qe = q[:, :, 0::2, :]    # (npi, h+2, wp2, cmid): dx=0 taps
+    qo = q[:, :, 1::2, :]    # dx=1 taps
+    # dx=2 taps: Qe shifted one column left (no wrap inside [0, w2)).
+    qe2 = _roll_w(qe.astype(jnp.float32), wp2 - 1, interpret)
+    qe2 = qe2.astype(jnp.bfloat16)
+
+    acc = jnp.zeros((rows_out, cmid), jnp.float32)
+    for dy in range(3):
+        for dx, buf in enumerate((qe, qo, qe2)):
+            view = buf[:, dy:dy + 2 * h2:2, :, :]
+            acc += jnp.dot(view.reshape(rows_out, cmid),
+                           w2_ref[dy * 3 + dx],
+                           preferred_element_type=jnp.float32)
+    y2 = jnp.maximum(acc + b2_ref[:], 0.0).astype(jnp.bfloat16)
+
+    y3 = jnp.dot(y2, w3_ref[:], preferred_element_type=jnp.float32)
+    y3 = (y3 + b3_ref[:]).reshape(npi, h2, wp2, cout)[:, :, 0:w2, :]
+
+    # strided downsample projection on the input
+    xs = x_ref[:, 0::2, 0::2, :].reshape(npi * h2 * w2, cin)
+    res = jnp.dot(xs, wd_ref[:], preferred_element_type=jnp.float32)
+    res = (res + bd_ref[:]).reshape(npi, h2, w2, cout)
+
+    out = jnp.maximum(y3 + res, 0.0).astype(jnp.bfloat16)
+    out_ref[:] = out
+
+
+def fused_bottleneck_s2(x, w1, b1, w2, b2, w3, b3, wd, bd,
+                        images_per_tile: int = 1, interpret: bool = False):
+    """Fused stride-2 bottleneck (stage entry blocks). Requires the
+    downsample projection (wd/bd); H and W must be even, W a multiple
+    of 8. Returns (B, H/2, W/2, Cout) bf16."""
+    b, h, w, cin = x.shape
+    cmid = w1.shape[-1]
+    cout = w3.shape[-1]
+    npi = images_per_tile
+    if b % npi:
+        raise ValueError(f"batch {b} not divisible by images_per_tile {npi}")
+    if w % 8 or h % 2 or w % 2:
+        raise ValueError(f"need even H/W with W%8==0; got {h}x{w}")
+    wp = -(-(w + 2) // 16) * 16  # halo, multiple of 16 so wp/2 % 8 == 0
+
+    w2p = jnp.asarray(w2, jnp.bfloat16).reshape(9, cmid, cmid)
+    kernel = functools.partial(
+        _bottleneck_s2_kernel, npi=npi, h=h, w=w, wp=wp, cmid=cmid,
+        cout=cout, interpret=interpret,
+    )
+    h2, w2_ = h // 2, w // 2
+    flops = 2 * b * (h * w * cin * cmid + h2 * w2_ * (9 * cmid * cmid
+                     + cmid * cout + cin * cout))
+    bytes_accessed = 2 * b * (h * w * cin + h2 * w2_ * cout)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(b // npi,),
+        in_specs=[
+            pl.BlockSpec((npi, h, w, cin), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ] + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 8,
+        out_specs=pl.BlockSpec((npi, h2, w2_, cout),
+                               lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, h2, w2_, cout), jnp.bfloat16),
+        scratch_shapes=[
+            pltpu.VMEM((npi, h + 2, wp, cmid), jnp.bfloat16),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=bytes_accessed, transcendentals=0,
+        ),
+        interpret=interpret,
+    )(
+        jnp.asarray(x, jnp.bfloat16),
+        jnp.asarray(w1, jnp.bfloat16),
+        jnp.asarray(b1, jnp.float32).reshape(1, -1),
+        w2p,
+        jnp.asarray(b2, jnp.float32).reshape(1, -1),
+        jnp.asarray(w3, jnp.bfloat16),
+        jnp.asarray(b3, jnp.float32).reshape(1, -1),
+        jnp.asarray(wd, jnp.bfloat16),
+        jnp.asarray(bd, jnp.float32).reshape(1, -1),
+    )
+
+
+def xla_bottleneck_reference(x, w1, b1, w2, b2, w3, b3, wd=None, bd=None,
+                             stride: int = 1):
     """Plain-XLA reference implementation (same folded-weight math)."""
     x = jnp.asarray(x, jnp.bfloat16)
 
-    def conv1x1(v, k, bias):
-        out = jax.lax.dot_general(
-            v.astype(jnp.bfloat16), jnp.asarray(k, jnp.bfloat16),
-            (((3,), (0,)), ((), ())),
+    def conv1x1(v, k, bias, s=1):
+        k4 = jnp.asarray(k, jnp.bfloat16).reshape(
+            1, 1, k.shape[-2], k.shape[-1]
+        )
+        out = jax.lax.conv_general_dilated(
+            v.astype(jnp.bfloat16), k4, window_strides=(s, s),
+            padding="VALID", dimension_numbers=("NHWC", "HWIO", "NHWC"),
             preferred_element_type=jnp.float32,
         )
         return out + bias
@@ -236,14 +358,14 @@ def xla_bottleneck_reference(x, w1, b1, w2, b2, w3, b3, wd=None, bd=None):
     y = jnp.maximum(conv1x1(x, w1, b1), 0).astype(jnp.bfloat16)
     y = jax.lax.conv_general_dilated(
         y, jnp.asarray(w2, jnp.bfloat16),
-        window_strides=(1, 1), padding=((1, 1), (1, 1)),
+        window_strides=(stride, stride), padding=((1, 1), (1, 1)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=jnp.float32,
     ) + b2
     y = jnp.maximum(y, 0).astype(jnp.bfloat16)
     y = conv1x1(y, w3, b3)
     if wd is not None:
-        res = conv1x1(x, wd, bd)
+        res = conv1x1(x, wd, bd, s=stride)
     else:
         res = x.astype(jnp.float32)
     return jnp.maximum(y + res, 0).astype(jnp.bfloat16)

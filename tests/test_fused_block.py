@@ -104,6 +104,54 @@ def test_fold_bn_matches_batchnorm():
                                rtol=1e-4, atol=1e-5)
 
 
+class TestStride2:
+    @pytest.mark.parametrize("shape,npi", [
+        ((2, 16, 16, 64), 1),     # layer2_block0-like
+        ((4, 8, 8, 128), 2),
+    ])
+    def test_matches_xla(self, shape, npi):
+        from geoestimation_tpu.ops.fused_bottleneck import (
+            fused_bottleneck_s2,
+        )
+
+        cin = shape[-1]
+        cmid, cout = cin // 2, cin * 2
+        w1, b1, w2, b2, w3, b3, _, _ = make_weights(cin, cmid, cout, False)
+        w3 = RNG.normal(0, 0.05, (cmid, cout)).astype(np.float32)
+        wd = RNG.normal(0, 0.05, (cin, cout)).astype(np.float32)
+        bd = RNG.normal(0, 0.1, (cout,)).astype(np.float32)
+        x = RNG.normal(0, 1, shape).astype(np.float32)
+
+        ref = xla_bottleneck_reference(jnp.asarray(x), w1, b1, w2, b2,
+                                       w3, b3, wd, bd, stride=2)
+        got = fused_bottleneck_s2(jnp.asarray(x), w1, b1, w2, b2, w3, b3,
+                                  wd, bd, images_per_tile=npi,
+                                  interpret=True)
+        assert got.shape == (shape[0], shape[1] // 2, shape[2] // 2, cout)
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(ref, np.float32),
+            rtol=0.05, atol=0.05,
+        )
+        frac_same = np.mean(
+            np.asarray(got, np.float32) == np.asarray(ref, np.float32)
+        )
+        assert frac_same > 0.9
+
+    def test_rejects_odd_dims(self):
+        from geoestimation_tpu.ops.fused_bottleneck import (
+            fused_bottleneck_s2,
+        )
+
+        ws = make_weights(64, 32, 128, True)
+        w1, b1, w2, b2, w3, b3, wd, bd = ws
+        w3 = RNG.normal(0, 0.05, (32, 128)).astype(np.float32)
+        wd = RNG.normal(0, 0.05, (64, 128)).astype(np.float32)
+        bd = np.zeros(128, np.float32)
+        with pytest.raises(ValueError, match="even H/W"):
+            fused_bottleneck_s2(jnp.zeros((1, 9, 16, 64)), w1, b1, w2,
+                                b2, w3, b3, wd, bd, interpret=True)
+
+
 def test_bad_images_per_tile():
     ws = make_weights(64, 32, 64, False)
     x = jnp.zeros((3, 8, 8, 64))
