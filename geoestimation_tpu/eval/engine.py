@@ -98,7 +98,7 @@ class InferenceEngine:
             "batch_stats": state["batch_stats"],
         }
         self._fast_apply = None
-        if fast and not config.model_params.scene_gating:
+        if fast:
             from ..models.fast_infer import build_fast_apply
 
             self._fast_apply = build_fast_apply(

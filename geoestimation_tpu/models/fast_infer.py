@@ -148,10 +148,23 @@ def build_fast_apply(variables, arch="resnet50", n_classes=None,
                            PALLAS_STAGES.get(stage, 1) if stride == 1
                            else 1))
 
-    head_kernel = jnp.asarray(params["heads"]["fused_head"]["kernel"],
-                              jnp.bfloat16)
-    head_bias = jnp.asarray(params["heads"]["fused_head"]["bias"],
-                            jnp.float32)
+    # Heads: base classifier has a single fused head; ISN carries a scene
+    # head plus per-scene geo heads and hard-routes by scene argmax.
+    isn = "scene_head" in params
+    if isn:
+        scene_kernel = jnp.asarray(params["scene_head"]["kernel"],
+                                   jnp.bfloat16)
+        scene_bias = jnp.asarray(params["scene_head"]["bias"], jnp.float32)
+        head_kernel = jnp.asarray(params["scene_geo_heads"]["kernel"],
+                                  jnp.bfloat16)
+        head_bias = jnp.asarray(params["scene_geo_heads"]["bias"],
+                                jnp.float32)
+        n_scenes = scene_kernel.shape[-1]
+    else:
+        head_kernel = jnp.asarray(params["heads"]["fused_head"]["kernel"],
+                                  jnp.bfloat16)
+        head_bias = jnp.asarray(params["heads"]["fused_head"]["bias"],
+                                jnp.float32)
     stem_k = jnp.asarray(stem_k, jnp.bfloat16)
     stem_b = jnp.asarray(stem_b, jnp.float32)
     blocks = [
@@ -182,6 +195,17 @@ def build_fast_apply(variables, arch="resnet50", n_classes=None,
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) + head_bias
+        if isn:
+            # hard scene routing, same semantics as ISNClassifier.__call__
+            scene_logits = jax.lax.dot_general(
+                feats.astype(jnp.bfloat16), scene_kernel,
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) + scene_bias
+            gate = jax.nn.one_hot(jnp.argmax(scene_logits, -1), n_scenes,
+                                  dtype=jnp.float32)
+            per_scene = logits.reshape(logits.shape[0], n_scenes, -1)
+            logits = jnp.einsum("bsc,bs->bc", per_scene, gate)
         if n_classes is None:
             return logits
         out, start = [], 0

@@ -47,6 +47,37 @@ def test_fast_apply_matches_model_xla_only(model_and_vars):
         )
 
 
+def test_fast_apply_isn(model_and_vars):
+    # ISN variant through the folded path: gated logits match the linen
+    # model's hard routing
+    import jax
+
+    from geoestimation_tpu.models.isn import ISNClassifier
+
+    model = ISNClassifier(n_classes=N_CLASSES, n_scenes=3, arch="resnet50")
+    x0 = jnp.zeros((2, 64, 64, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(3), x0, train=False)
+    imgs = jax.random.normal(jax.random.PRNGKey(4), (4, 64, 64, 3))
+    _, mutated = model.apply(variables, imgs, train=True,
+                             mutable=["batch_stats"])
+    variables = {"params": variables["params"],
+                 "batch_stats": mutated["batch_stats"]}
+
+    rng = np.random.default_rng(5)
+    u8 = jnp.asarray(rng.integers(0, 255, (3, 64, 64, 3), dtype=np.uint8))
+    x = normalize(u8, jnp.float32)
+    ref = model.apply(variables, x, train=False)
+    fast = build_fast_apply(variables, "resnet50", n_classes=N_CLASSES,
+                            use_pallas=False)
+    got = fast(x)
+    for g, r in zip(got, ref):
+        np.testing.assert_array_equal(
+            np.asarray(g).argmax(-1), np.asarray(r).argmax(-1)
+        )
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   rtol=0.1, atol=0.15)
+
+
 def test_fast_apply_with_pallas_interpret(model_and_vars, monkeypatch):
     # route the pallas blocks through the interpreter on CPU
     import importlib
