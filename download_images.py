@@ -85,22 +85,39 @@ def main(argv=None):
             shard_idx += 1
             buf = []
 
+    # Bounded in-flight window: submitting every URL up front would retain
+    # all futures (and their result blobs) — unbounded memory at MP-16
+    # scale (~4.7M images).
+    window = args.num_workers * 4
     with cf.ThreadPoolExecutor(args.num_workers) as ex:
-        futs = {
-            ex.submit(fetch, apply_size_suffix(url, args.size_suffix),
-                      args.timeout): img_id
-            for img_id, url in rows
-        }
-        for fut in cf.as_completed(futs):
-            img_id = futs[fut]
+        it = iter(rows)
+        futs = {}
+
+        def submit_next():
             try:
-                data = fut.result()
-                buf.append({"id": img_id, "image": data})
+                img_id, url = next(it)
+            except StopIteration:
+                return False
+            futs[ex.submit(
+                fetch, apply_size_suffix(url, args.size_suffix),
+                args.timeout
+            )] = img_id
+            return True
+
+        for _ in range(window):
+            if not submit_next():
+                break
+        while futs:
+            fut = next(cf.as_completed(futs))
+            img_id = futs.pop(fut)
+            try:
+                buf.append({"id": img_id, "image": fut.result()})
                 n_ok += 1
                 if len(buf) >= args.shard_size:
                     flush()
             except Exception:
                 n_fail += 1
+            submit_next()
     flush()
     print(f"done: {n_ok} downloaded, {n_fail} failed, "
           f"{shard_idx} shards in {args.output}")

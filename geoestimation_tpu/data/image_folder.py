@@ -89,8 +89,9 @@ def iter_image_folder(
                     ok = np.concatenate([ok, np.zeros(pad, bool)])
                     ids = ids + [ids[-1]] * pad
                 q.put(EvalBatch(ids=ids, images=images, valid=ok))
-        finally:
             q.put(None)
+        except BaseException as e:  # noqa: BLE001 - re-raised in consumer
+            q.put(e)
 
     q: queue.Queue = queue.Queue(maxsize=prefetch)
     t = threading.Thread(target=produce, args=(q,), daemon=True)
@@ -99,6 +100,8 @@ def iter_image_folder(
         item = q.get()
         if item is None:
             return
+        if isinstance(item, BaseException):
+            raise item
         yield item
 
 

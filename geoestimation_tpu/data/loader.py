@@ -97,10 +97,14 @@ class ShardBatcher:
         host_id: Optional[int] = None,
         host_count: Optional[int] = None,
         shuffle_mode: str = "buffer",
+        mask_padding: bool = False,
     ):
         """shuffle_mode: 'buffer' streams shards with a shuffle buffer
         (constant memory); 'global' builds a byte-offset index and visits
-        records in an exact per-epoch permutation (random IO)."""
+        records in an exact per-epoch permutation (random IO).
+        mask_padding: tile-padded duplicate entries get labels -1 and NaN
+        coordinates so evaluation doesn't double-count them (set for
+        validation; training keeps duplicates labeled to fill the batch)."""
         if partitionings is None and label_map is None:
             raise ValueError("need partitionings or label_map for labels")
         self.patterns = list(shard_patterns)
@@ -128,6 +132,7 @@ class ShardBatcher:
         if shuffle_mode not in ("buffer", "global"):
             raise ValueError(f"unknown shuffle_mode {shuffle_mode!r}")
         self.shuffle_mode = shuffle_mode
+        self.mask_padding = mask_padding
         self.n_partitionings = (
             len(partitionings) if partitionings is not None
             else len(next(iter(label_map.values())))
@@ -181,6 +186,8 @@ class ShardBatcher:
             )
 
     def _produce(self, q):
+        # Errors must reach the consumer: a swallowed exception here would
+        # look like a clean end-of-data and silently truncate the dataset.
         try:
             pending = []
             for rec in self._iter_source():
@@ -195,8 +202,9 @@ class ShardBatcher:
                 batch = self._make_batch(pending, pad_to=self.batch_size)
                 if batch is not None:
                     q.put(batch)
-        finally:
             q.put(None)
+        except BaseException as e:  # noqa: BLE001 - re-raised in consumer
+            q.put(e)
 
     def _make_batch(self, recs, pad_to=None):
         images, ok = decode.decode_batch(
@@ -233,6 +241,10 @@ class ShardBatcher:
                 images[idx], labels[:, idx], latlng[idx], scene[idx]
             )
             recs = [recs[i] for i in idx]
+            if self.mask_padding and n < size:
+                labels[:, n:] = -1
+                latlng[n:] = np.nan
+                scene[n:] = -1
         return TrainBatch(
             images=images, labels=labels,
             ids=[str(r.get("id")) for r in recs], latlng=latlng,
@@ -247,4 +259,6 @@ class ShardBatcher:
             item = q.get()
             if item is None:
                 return
+            if isinstance(item, BaseException):
+                raise item
             yield item

@@ -99,7 +99,16 @@ class Partitioning:
             rows = [r for r in reader if r and any(c.strip() for c in r)]
         cols = _resolve_columns(rows[0])
         body = rows[1:]
-        order = np.argsort([int(float(r[cols["class_label"]])) for r in body])
+        labels = [int(float(r[cols["class_label"]])) for r in body]
+        if sorted(labels) != list(range(len(body))):
+            raise ValueError(
+                f"partitioning CSV {path!r}: class_label column must be a "
+                f"permutation of 0..{len(body) - 1} (got min "
+                f"{min(labels, default=0)}, max {max(labels, default=0)}, "
+                f"{len(set(labels))} unique of {len(body)} rows) — a "
+                f"filtered/reindexed file would silently shift classes"
+            )
+        order = np.argsort(labels)
         body = [body[i] for i in order]
         tokens = np.array([r[cols["hex_id"]].strip().lower() for r in body])
         lat = np.array([float(r[cols["latitude_mean"]]) for r in body], np.float64)

@@ -204,13 +204,21 @@ bool process_one(const uint8_t* blob, size_t len, int resize_to,
   std::vector<uint8_t> resized;
   resize_bilinear(rgb, w, h, &tmp, &resized, nw, nh);
 
-  const int left = (nw - base_size) / 2;
-  const int top = (nh - base_size) / 2;
-  for (int y = 0; y < base_size; ++y) {
-    std::memcpy(out + static_cast<size_t>(y) * base_size * 3,
+  // Center crop; when base_size exceeds the resized dims (caller passed
+  // base_size > resize_to) the image is centered and the rest stays
+  // zero-padded, matching the PIL fallback's out-of-bounds crop behavior.
+  const int copy_w = std::min(base_size, nw);
+  const int copy_h = std::min(base_size, nh);
+  const int src_left = std::max((nw - base_size) / 2, 0);
+  const int src_top = std::max((nh - base_size) / 2, 0);
+  const int dst_left = std::max((base_size - nw) / 2, 0);
+  const int dst_top = std::max((base_size - nh) / 2, 0);
+  for (int y = 0; y < copy_h; ++y) {
+    std::memcpy(out + (static_cast<size_t>(dst_top + y) * base_size +
+                       dst_left) * 3,
                 resized.data() +
-                    (static_cast<size_t>(top + y) * nw + left) * 3,
-                static_cast<size_t>(base_size) * 3);
+                    (static_cast<size_t>(src_top + y) * nw + src_left) * 3,
+                static_cast<size_t>(copy_w) * 3);
   }
   return true;
 }

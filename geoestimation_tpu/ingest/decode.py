@@ -72,14 +72,15 @@ def decode_batch(
     `ok` mask (the reference's downloader tolerates rotten images,
     README.md:192-194 — eval code must too).
     """
-    n = len(blobs)
-    out = np.zeros((n, base_size, base_size, 3), dtype=np.uint8)
-    ok = np.zeros(n, dtype=bool)
-
     if backend == "auto":
         backend = "turbo" if native.available() else "pil"
     if backend == "turbo":
-        return native.decode_batch(blobs, resize_to, base_size)
+        return native.decode_batch(blobs, resize_to, base_size,
+                                   num_threads=num_threads or 0)
+
+    n = len(blobs)
+    out = np.zeros((n, base_size, base_size, 3), dtype=np.uint8)
+    ok = np.zeros(n, dtype=bool)
 
     def work(i):
         try:

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .decode import IMAGENET_MEAN, IMAGENET_STD
 
@@ -104,6 +105,61 @@ def random_crop_flip(rng, images_u8, crop=224, flip=True):
     return out
 
 
-def train_pipeline(rng, images_u8, crop=224, dtype=jnp.bfloat16):
-    """uint8 (B, base, base, 3) -> augmented normalized (B, crop, crop, 3)."""
+def random_resized_crop_flip(rng, images_u8, crop=224, scale=(0.66, 1.0),
+                             n_sizes=8):
+    """RandomResizedCrop-style augmentation with static shapes.
+
+    torchvision's per-image continuous scale sampling is shape-dynamic;
+    the TPU-native equivalent picks ONE crop size per step from `n_sizes`
+    discrete sizes spanning sqrt(scale)·base (a `lax.switch` over static
+    branches: dynamic_slice at per-image offsets, then bilinear resize to
+    `crop`), plus per-image random flips. Per-step size + per-image
+    position jitter preserves the recipe's augmentation strength while
+    every branch stays statically shaped.
+    """
+    b, h, w, _ = images_u8.shape
+    base = min(h, w)
+    lo = max(1, int(np.floor(base * float(scale[0]) ** 0.5)))
+    hi = min(base, int(np.ceil(base * float(scale[1]) ** 0.5)))
+    sizes = sorted({int(round(s)) for s in np.linspace(lo, hi, n_sizes)})
+
+    k_size, k_off, k_flip = jax.random.split(rng, 3)
+
+    def branch(s):
+        def fn(args):
+            imgs, off_u = args
+            tops = (off_u[:, 0] * (h - s + 1)).astype(jnp.int32)
+            lefts = (off_u[:, 1] * (w - s + 1)).astype(jnp.int32)
+
+            def one(img, top, left):
+                window = jax.lax.dynamic_slice(img, (top, left, 0),
+                                               (s, s, 3))
+                return jax.image.resize(
+                    window.astype(jnp.float32), (crop, crop, 3), "bilinear"
+                )
+
+            return jax.vmap(one)(imgs, tops, lefts)
+        return fn
+
+    idx = jax.random.randint(k_size, (), 0, len(sizes))
+    off_u = jax.random.uniform(k_off, (b, 2))
+    out = jax.lax.switch(idx, [branch(s) for s in sizes],
+                         (images_u8, off_u))
+    do = jax.random.bernoulli(k_flip, 0.5, (b,))
+    out = jnp.where(do[:, None, None, None], jnp.flip(out, axis=2), out)
+    return jnp.clip(out, 0.0, 255.0)
+
+
+def train_pipeline(rng, images_u8, crop=224, dtype=jnp.bfloat16,
+                   crop_scale=None):
+    """uint8 (B, base, base, 3) -> augmented normalized (B, crop, crop, 3).
+
+    crop_scale: optional (min, max) area-scale range enabling
+    RandomResizedCrop-style jitter (the reference training recipe,
+    config train_params.train_crop_scale); None = plain random crop.
+    """
+    if crop_scale is not None and tuple(crop_scale) != (1.0, 1.0):
+        aug = random_resized_crop_flip(rng, images_u8, crop,
+                                       scale=tuple(crop_scale))
+        return normalize(aug, dtype)
     return normalize(random_crop_flip(rng, images_u8, crop), dtype)

@@ -139,6 +139,9 @@ class Trainer:
             seed=seed,
             repeat=False,
             num_workers=self.tp.num_workers,
+            # validation (shuffle=False) must not double-count tile-padded
+            # duplicates in val_loss / GCD accuracy
+            mask_padding=not shuffle,
         )
 
     # -- validation ---------------------------------------------------------
@@ -197,6 +200,8 @@ class Trainer:
                 label_smoothing=tp.label_smoothing,
                 crop=tp.image_size,
                 dtype=self.model.dtype,
+                crop_scale=tuple(tp.train_crop_scale)
+                if tp.train_crop_scale else None,
             )
         else:
             train_fn = make_jitted_train_step(
@@ -204,6 +209,8 @@ class Trainer:
                 label_smoothing=tp.label_smoothing,
                 crop=tp.image_size,
                 dtype=self.model.dtype,
+                crop_scale=tuple(tp.train_crop_scale)
+                if tp.train_crop_scale else None,
             )
         eval_fn = make_jitted_eval_step(self.layout, crop=tp.image_size,
                                         dtype=self.model.dtype)
@@ -233,6 +240,7 @@ class Trainer:
             pass  # not the main thread (tests)
         try:
             while step < total_steps:
+                epoch_start_step = step
                 batcher = self._batcher(
                     tp.train_shards, tp.train_labels, shuffle=True,
                     seed=tp.seed + step,
@@ -281,6 +289,15 @@ class Trainer:
                     if step >= total_steps:
                         break
                 else:
+                    if step == epoch_start_step:
+                        # zero batches produced: every record was dropped
+                        # (e.g. label CSV ids don't match the shards) —
+                        # fail loudly instead of spinning forever.
+                        raise RuntimeError(
+                            "training epoch produced no batches — check "
+                            "that the label CSV IMG_IDs match the shard "
+                            "record ids and that shards decode"
+                        )
                     # epoch boundary: validate + checkpoint
                     val = self.validate(state, eval_fn) \
                         if self.tp.val_shards else {}

@@ -21,11 +21,20 @@ def multistep_schedule(base_lr: float, milestones, gamma: float,
     sched = optax.piecewise_constant_schedule(base_lr, boundaries)
     if warmup_epochs > 0:
         warmup_steps = max(1, int(warmup_epochs * steps_per_epoch))
+        inside = [k for k in boundaries if k <= warmup_steps]
+        if inside:
+            # Clamping these would fire decays right after warmup and
+            # collide on one boundary key, silently losing gamma factors.
+            raise ValueError(
+                f"lr milestones at steps {sorted(inside)} fall inside the "
+                f"{warmup_steps}-step warmup; use milestones > "
+                f"warmup_epochs ({warmup_epochs})"
+            )
         warmup = optax.linear_schedule(0.0, base_lr, warmup_steps)
         sched = optax.join_schedules(
             [warmup, optax.piecewise_constant_schedule(
                 base_lr,
-                {max(1, k - warmup_steps): v for k, v in boundaries.items()},
+                {k - warmup_steps: v for k, v in boundaries.items()},
             )],
             [warmup_steps],
         )

@@ -54,12 +54,13 @@ def create_train_state(model, variables, tx) -> TrainState:
 
 def train_step(state: TrainState, images_u8, labels, rng,
                label_smoothing: float = 0.0, crop: int = 224,
-               dtype=jnp.bfloat16, augment: bool = True):
+               dtype=jnp.bfloat16, augment: bool = True, crop_scale=None):
     """One optimization step. images_u8: (B, base, base, 3) uint8;
     labels: (P, B) int32 with -1 = ignore. Returns (state, metrics)."""
     if augment:
         step_rng = jax.random.fold_in(rng, state.step)
-        x = train_pipeline(step_rng, images_u8, crop=crop, dtype=dtype)
+        x = train_pipeline(step_rng, images_u8, crop=crop, dtype=dtype,
+                           crop_scale=crop_scale)
     else:
         from ..ingest.pipeline import center_crop, normalize
 
@@ -115,14 +116,15 @@ def eval_step(state: TrainState, images_u8, labels, crop: int = 224,
 def train_step_isn(state: TrainState, images_u8, labels, scene, rng,
                    label_smoothing: float = 0.0, crop: int = 224,
                    dtype=jnp.bfloat16, scene_loss_weight: float = 1.0,
-                   augment: bool = True):
+                   augment: bool = True, crop_scale=None):
     """ISN optimization step: scene CE + geo CE on the ground-truth-scene
     heads (models/isn.py). scene: (B,) int32, -1 = unknown."""
     from ..models.isn import isn_loss
 
     if augment:
         step_rng = jax.random.fold_in(rng, state.step)
-        x = train_pipeline(step_rng, images_u8, crop=crop, dtype=dtype)
+        x = train_pipeline(step_rng, images_u8, crop=crop, dtype=dtype,
+                           crop_scale=crop_scale)
     else:
         from ..ingest.pipeline import center_crop, normalize
 
@@ -163,10 +165,11 @@ def train_step_isn(state: TrainState, images_u8, labels, scene, rng,
 
 def make_jitted_isn_train_step(layout: MeshLayout, label_smoothing=0.0,
                                crop=224, dtype=jnp.bfloat16,
-                               scene_loss_weight=1.0):
+                               scene_loss_weight=1.0, crop_scale=None):
     fn = functools.partial(
         train_step_isn, label_smoothing=label_smoothing, crop=crop,
         dtype=dtype, scene_loss_weight=scene_loss_weight,
+        crop_scale=crop_scale,
     )
     return jax.jit(
         fn,
@@ -177,13 +180,14 @@ def make_jitted_isn_train_step(layout: MeshLayout, label_smoothing=0.0,
 
 
 def make_jitted_train_step(layout: MeshLayout, label_smoothing=0.0,
-                           crop=224, dtype=jnp.bfloat16):
+                           crop=224, dtype=jnp.bfloat16, crop_scale=None):
     """Bind shardings: state replicated (head on model axis), batch on data.
 
     Donates the state so buffers update in place.
     """
     fn = functools.partial(
-        train_step, label_smoothing=label_smoothing, crop=crop, dtype=dtype
+        train_step, label_smoothing=label_smoothing, crop=crop,
+        dtype=dtype, crop_scale=crop_scale,
     )
     return jax.jit(
         fn,

@@ -20,6 +20,7 @@ class MetricsLogger:
         self.stdout = stdout
         self._csv_path = None
         self._csv_fields = None
+        self._rows = None
         self._tb = None
         if directory:
             os.makedirs(directory, exist_ok=True)
@@ -34,6 +35,22 @@ class MetricsLogger:
                 except Exception:
                     self._tb = None
 
+    def _load_existing(self):
+        """Resume support: absorb an existing metrics.csv so fields and
+        rows stay aligned across restarts."""
+        self._rows = []
+        self._csv_fields = ["step", "time"]
+        if self._csv_path and os.path.exists(self._csv_path):
+            try:
+                with open(self._csv_path, newline="") as f:
+                    reader = csv.DictReader(f)
+                    for k in reader.fieldnames or []:
+                        if k not in self._csv_fields:
+                            self._csv_fields.append(k)
+                    self._rows = list(reader)
+            except (OSError, csv.Error):
+                pass
+
     def log(self, step: int, metrics: dict, prefix: str = ""):
         metrics = {
             (f"{prefix}{k}" if prefix else k): float(v)
@@ -42,18 +59,21 @@ class MetricsLogger:
         parts = " ".join(f"{k} {v:.5g}" for k, v in metrics.items())
         self.stdout(f"step {step} {parts}")
         if self._csv_path:
+            if self._rows is None:
+                self._load_existing()
             row = {"step": step, "time": time.time(), **metrics}
-            exists = os.path.exists(self._csv_path)
-            fields = self._csv_fields or list(row)
-            # tolerate evolving field sets by rewriting header-compatible
-            # subset rows only
-            with open(self._csv_path, "a", newline="") as f:
-                writer = csv.DictWriter(f, fieldnames=fields,
-                                        extrasaction="ignore")
-                if not exists:
-                    writer.writeheader()
-                    self._csv_fields = fields
-                writer.writerow(row)
+            for k in row:
+                if k not in self._csv_fields:
+                    self._csv_fields.append(k)
+            self._rows.append(row)
+            # Rewrite atomically: field sets evolve (train/* vs val/*) and
+            # appending with a frozen header silently drops new metrics.
+            tmp = self._csv_path + ".tmp"
+            with open(tmp, "w", newline="") as f:
+                writer = csv.DictWriter(f, fieldnames=self._csv_fields)
+                writer.writeheader()
+                writer.writerows(self._rows)
+            os.replace(tmp, self._csv_path)
         if self._tb is not None:
             for k, v in metrics.items():
                 self._tb.add_scalar(k, v, step)
