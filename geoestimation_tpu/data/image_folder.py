@@ -64,7 +64,16 @@ def iter_image_folder(
             f"no {'/'.join(IMAGE_EXTENSIONS)} images in {image_dir!r}"
         )
 
-    def produce(q):
+    def produce(q, stop):
+        def put(item):
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         try:
             for start in range(0, len(paths), batch_size):
                 chunk = paths[start:start + batch_size]
@@ -88,21 +97,26 @@ def iter_image_folder(
                     )
                     ok = np.concatenate([ok, np.zeros(pad, bool)])
                     ids = ids + [ids[-1]] * pad
-                q.put(EvalBatch(ids=ids, images=images, valid=ok))
-            q.put(None)
+                if not put(EvalBatch(ids=ids, images=images, valid=ok)):
+                    return
+            put(None)
         except BaseException as e:  # noqa: BLE001 - re-raised in consumer
-            q.put(e)
+            put(e)
 
     q: queue.Queue = queue.Queue(maxsize=prefetch)
-    t = threading.Thread(target=produce, args=(q,), daemon=True)
+    stop = threading.Event()
+    t = threading.Thread(target=produce, args=(q, stop), daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is None:
-            return
-        if isinstance(item, BaseException):
-            raise item
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is None:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        stop.set()
 
 
 def load_meta_csv(path: str) -> pd.DataFrame:

@@ -185,9 +185,21 @@ class ShardBatcher:
                 host_count=self.host_count,
             )
 
-    def _produce(self, q):
+    def _produce(self, q, stop):
         # Errors must reach the consumer: a swallowed exception here would
         # look like a clean end-of-data and silently truncate the dataset.
+        # The stop event lets an abandoned iterator unblock us (a plain
+        # q.put would park this thread — and its shard file handles —
+        # forever once the consumer walks away).
+        def put(item):
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         try:
             pending = []
             for rec in self._iter_source():
@@ -196,15 +208,15 @@ class ShardBatcher:
                     continue
                 batch = self._make_batch(pending)
                 pending = []
-                if batch is not None:
-                    q.put(batch)
+                if batch is not None and not put(batch):
+                    return
             if pending:
                 batch = self._make_batch(pending, pad_to=self.batch_size)
-                if batch is not None:
-                    q.put(batch)
-            q.put(None)
+                if batch is not None and not put(batch):
+                    return
+            put(None)
         except BaseException as e:  # noqa: BLE001 - re-raised in consumer
-            q.put(e)
+            put(e)
 
     def _make_batch(self, recs, pad_to=None):
         images, ok = decode.decode_batch(
@@ -253,12 +265,17 @@ class ShardBatcher:
 
     def __iter__(self) -> Iterator[TrainBatch]:
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
-        t = threading.Thread(target=self._produce, args=(q,), daemon=True)
+        stop = threading.Event()
+        t = threading.Thread(target=self._produce, args=(q, stop),
+                             daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is None:
-                return
-            if isinstance(item, BaseException):
-                raise item
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    return
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            stop.set()

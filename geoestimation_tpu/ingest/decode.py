@@ -75,8 +75,29 @@ def decode_batch(
     if backend == "auto":
         backend = "turbo" if native.available() else "pil"
     if backend == "turbo":
-        return native.decode_batch(blobs, resize_to, base_size,
-                                   num_threads=num_threads or 0)
+        # The native decoder is JPEG-only; route other formats (PNG is
+        # part of the eval-folder contract, reference README.md:110)
+        # through PIL by sniffing the JPEG magic bytes.
+        is_jpeg = [b[:2] == b"\xff\xd8" for b in blobs]
+        if all(is_jpeg):
+            return native.decode_batch(blobs, resize_to, base_size,
+                                       num_threads=num_threads or 0)
+        out = np.zeros((len(blobs), base_size, base_size, 3), np.uint8)
+        ok = np.zeros(len(blobs), bool)
+        jpeg_idx = [i for i, j in enumerate(is_jpeg) if j]
+        if jpeg_idx:
+            sub, sub_ok = native.decode_batch(
+                [blobs[i] for i in jpeg_idx], resize_to, base_size,
+                num_threads=num_threads or 0,
+            )
+            out[jpeg_idx], ok[jpeg_idx] = sub, sub_ok
+        other_idx = [i for i, j in enumerate(is_jpeg) if not j]
+        sub, sub_ok = decode_batch(
+            [blobs[i] for i in other_idx], resize_to, base_size,
+            num_threads, backend="pil",
+        )
+        out[other_idx], ok[other_idx] = sub, sub_ok
+        return out, ok
 
     n = len(blobs)
     out = np.zeros((n, base_size, base_size, 3), dtype=np.uint8)

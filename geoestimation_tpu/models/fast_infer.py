@@ -104,8 +104,7 @@ def _pallas_block(x, fb, images_per_tile, stride=1):
     )
 
 
-STAGE_SIZES = {"resnet50": (3, 4, 6, 3), "resnet101": (3, 4, 23, 3),
-               "resnet152": (3, 8, 36, 3)}
+from .resnet import STAGE_SIZES
 
 # Stages whose stride-1 blocks go through the Pallas kernel, with the
 # images-per-tile for each (plane size -> tall-matmul folding).

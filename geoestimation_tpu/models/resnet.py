@@ -131,6 +131,14 @@ ARCHS: dict = {
     "resnet152": resnet152,
 }
 
+# Canonical stage sizes — the single source for anything that walks block
+# names (fast inference path, torch checkpoint importer).
+STAGE_SIZES: dict = {
+    "resnet50": (3, 4, 6, 3),
+    "resnet101": (3, 4, 23, 3),
+    "resnet152": (3, 8, 36, 3),
+}
+
 FEATURE_DIM = 2048
 
 

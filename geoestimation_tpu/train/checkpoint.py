@@ -47,9 +47,23 @@ class CheckpointManager:
         self._mgr = ocp.CheckpointManager(self.directory, options=options)
 
     def save(self, step: int, state: dict, metrics: Optional[dict] = None,
-             config: Optional[Any] = None):
-        """state: pytree dict (params/batch_stats/opt_state/step...)."""
-        metrics = {k: float(v) for k, v in (metrics or {}).items()}
+             config: Optional[Any] = None) -> bool:
+        """state: pytree dict (params/batch_stats/opt_state/step...).
+
+        Saving a step that already exists is a no-op (returns False) —
+        orbax raises StepAlreadyExistsError otherwise, and the training
+        loop legitimately reaches the same step from multiple paths
+        (periodic + epoch-end + final). Non-finite metric values are
+        dropped: metric-less checkpoints are exempt from best-N cleanup
+        (kept as resume points), so e.g. a SIGTERM checkpoint saved
+        before any validation isn't garbage-collected immediately.
+        """
+        if step in (self._mgr.all_steps() or []):
+            return False
+        metrics = {
+            k: float(v) for k, v in (metrics or {}).items()
+            if v == v and abs(float(v)) != float("inf")
+        }
         self._mgr.save(
             step,
             args=ocp.args.StandardSave(state),
@@ -57,6 +71,7 @@ class CheckpointManager:
         )
         if config is not None:
             write_hparams(self.directory, config)
+        return True
 
     def restore(self, step: Optional[int] = None, template: Any = None):
         """Restore `step` (default: latest). Returns the state pytree."""

@@ -53,9 +53,13 @@ class Trainer:
             *(self.tp.mesh_shape or (None,))
         )
         self.model = model_from_config(config, self.partitionings)
+        # Without validation data every checkpoint is metric-less and
+        # best-val-loss retention would keep all of them forever; fall
+        # back to plain latest-N retention in that case.
         self.ckpt = ckpt_lib.CheckpointManager(
             self.tp.checkpoint_dir,
             max_to_keep=self.tp.keep_checkpoints,
+            best_metric="val_loss" if self.tp.val_shards else None,
         )
         from ..utils.logging import MetricsLogger
 
@@ -324,7 +328,12 @@ class Trainer:
                 self.log(f"val @ {step}: {val_metrics}")
         if val_metrics:
             self.metrics.log(step, val_metrics, prefix="val/")
-        metrics = {"val_loss": val_metrics.get("val_loss", float("inf"))}
+        # metric-less saves (no validation ran) are exempt from best-N
+        # cleanup — see CheckpointManager.save
+        metrics = (
+            {"val_loss": val_metrics["val_loss"]}
+            if "val_loss" in val_metrics else None
+        )
         self.ckpt.save(
             step,
             {

@@ -62,18 +62,24 @@ class MetricsLogger:
             if self._rows is None:
                 self._load_existing()
             row = {"step": step, "time": time.time(), **metrics}
-            for k in row:
-                if k not in self._csv_fields:
-                    self._csv_fields.append(k)
+            new_fields = [k for k in row if k not in self._csv_fields]
             self._rows.append(row)
-            # Rewrite atomically: field sets evolve (train/* vs val/*) and
-            # appending with a frozen header silently drops new metrics.
-            tmp = self._csv_path + ".tmp"
-            with open(tmp, "w", newline="") as f:
-                writer = csv.DictWriter(f, fieldnames=self._csv_fields)
-                writer.writeheader()
-                writer.writerows(self._rows)
-            os.replace(tmp, self._csv_path)
+            if new_fields or not os.path.exists(self._csv_path):
+                # Field set evolved (e.g. first val/* row): rewrite once
+                # with the union header — appending under a frozen header
+                # would silently drop the new metrics.
+                self._csv_fields.extend(new_fields)
+                tmp = self._csv_path + ".tmp"
+                with open(tmp, "w", newline="") as f:
+                    writer = csv.DictWriter(f, fieldnames=self._csv_fields)
+                    writer.writeheader()
+                    writer.writerows(self._rows)
+                os.replace(tmp, self._csv_path)
+            else:
+                # Common case: append one row (O(1) per log call).
+                with open(self._csv_path, "a", newline="") as f:
+                    writer = csv.DictWriter(f, fieldnames=self._csv_fields)
+                    writer.writerow(row)
         if self._tb is not None:
             for k, v in metrics.items():
                 self._tb.add_scalar(k, v, step)

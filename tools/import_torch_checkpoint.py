@@ -30,8 +30,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import numpy as np
 
-STAGE_SIZES = {"resnet50": (3, 4, 6, 3), "resnet101": (3, 4, 23, 3),
-               "resnet152": (3, 8, 36, 3)}
+from geoestimation_tpu.models.resnet import STAGE_SIZES
 
 
 def load_torch_state_dict(path):
