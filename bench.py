@@ -10,27 +10,109 @@ hierarchical f* argmax + lat/lng gather. Host ingest is excluded by design:
 the pipeline overlaps host decode with device compute, and the chip is the
 bottleneck at speed-of-light.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Robustness contract (round-2): this script ALWAYS prints exactly one JSON
+line with {"metric", "value", "unit", "vs_baseline"} (plus "platform" and,
+on any fallback/failure, "error"). The TPU tunnel in this environment dies
+unpredictably (round-1 BENCH captured nothing, rc=1), so:
+  * the tunnel relay port is probed cheaply before touching the jax axon
+    backend (a dead relay otherwise hangs backend init);
+  * TPU init is retried with backoff (BENCH_TPU_RETRIES / _BACKOFF_S);
+  * if the TPU never comes up and BENCH_ALLOW_CPU != "0" (default: allowed)
+    the bench runs a reduced-size CPU measurement, clearly labeled
+    platform=cpu-fallback, rather than emitting nothing;
+  * a total failure still emits a JSON line with value=null and exits 1.
 """
 
 import json
 import os
+import socket
 import sys
 import time
+import traceback
 
 import numpy as np
 
+TARGET_PER_CHIP = 1250.0  # 10k ten-crop img/s on a v5e-8
+RELAY_PORTS = (8082, 8083, 8087)  # axon relay listen ports (loopback)
 
-def main():
+
+def _relay_up(timeout=2.0) -> bool:
+    for port in RELAY_PORTS:
+        try:
+            with socket.create_connection(("127.0.0.1", port), timeout):
+                return True
+        except OSError:
+            continue
+    return False
+
+
+def _emit(result: dict) -> None:
+    print(json.dumps(result))
+    sys.stdout.flush()
+
+
+def _setup_jax_cache():
     import jax
 
-    # Persistent compile cache: repeat bench runs skip the ~2 min compile.
     cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              ".jax_cache")
     os.makedirs(cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+
+
+def _init_tpu(errors: list) -> bool:
+    """Bring up the axon TPU backend, with bounded retries. Returns True on
+    success; collects error strings otherwise."""
+    retries = int(os.environ.get("BENCH_TPU_RETRIES", "3"))
+    backoff = float(os.environ.get("BENCH_TPU_BACKOFF_S", "5"))
+    import jax
+
+    for attempt in range(retries):
+        if attempt:
+            time.sleep(backoff * attempt)
+        if not _relay_up():
+            errors.append(f"attempt {attempt + 1}: relay ports "
+                          f"{RELAY_PORTS} not listening")
+            continue
+        try:
+            devs = jax.devices()
+            if devs and devs[0].platform != "cpu":
+                return True
+            errors.append(
+                f"attempt {attempt + 1}: devices are {devs}"
+            )
+        except Exception as e:  # noqa: BLE001 - report, retry
+            errors.append(
+                f"attempt {attempt + 1}: {type(e).__name__}: {e}"
+            )
+            try:
+                import jax.extend as jex
+
+                jex.backend.clear_backends()
+            except Exception:
+                pass
+    return False
+
+
+def _force_cpu():
+    import jax
+
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    try:
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass
+    if jax.default_backend() != "cpu":
+        import jax.extend as jex
+
+        jex.backend.clear_backends()
+
+
+def _measure(batch: int, iters: int) -> float:
+    """Returns ten-crop images/sec/chip on whatever backend jax has."""
+    import jax
     import jax.numpy as jnp
 
     from __graft_entry__ import REAL_CLASS_COUNTS, _synthetic_harrays
@@ -41,10 +123,7 @@ def main():
     from geoestimation_tpu.ingest.pipeline import eval_pipeline
     from geoestimation_tpu.models import MultiPartitioningClassifier
 
-    batch = int(os.environ.get("BENCH_BATCH", "64"))
-    iters = int(os.environ.get("BENCH_ITERS", "30"))
     n_crops = 10
-
     model = MultiPartitioningClassifier(
         n_classes=REAL_CLASS_COUNTS, arch="resnet50", dtype=jnp.bfloat16
     )
@@ -58,8 +137,8 @@ def main():
     # (models/fast_infer.py). Default 0: the Pallas bottleneck kernel is
     # numerically verified but its production variant still loses to XLA on
     # v5e (border-mask elementwise ops trigger Mosaic relayouts; see
-    # ops/fused_bottleneck.py docstring) — the XLA path at 1066 img/s/chip
-    # is the known-good configuration.
+    # ops/fused_bottleneck.py docstring) — the XLA path is the known-good
+    # configuration. Flip when the PERF_NOTES round-2 checklist wins A/B.
     fast = os.environ.get("BENCH_FAST", "0") == "1"
     if fast:
         from geoestimation_tpu.models.fast_infer import build_fast_apply
@@ -105,17 +184,74 @@ def main():
     jax.device_get(jax.tree.leaves(out)[0][:1])
     dt = time.perf_counter() - t0
 
-    images_per_sec = batch * iters / dt
-    per_chip = images_per_sec / jax.device_count()
+    return batch * iters / dt / jax.device_count()
+
+
+def main():
+    errors: list = []
+    platform = "tpu"
+    try:
+        import jax  # noqa: F401
+    except Exception as e:  # jax import itself broken
+        _emit({
+            "metric": "ten_crop_images_per_sec_per_chip_resnet50",
+            "value": None, "unit": "images/sec/chip", "vs_baseline": None,
+            "platform": "none",
+            "error": f"jax unavailable: {type(e).__name__}: {e}",
+        })
+        return 1
+
+    if _init_tpu(errors):
+        # Persistent cache only on the TPU path: CPU-fallback runs must not
+        # load cache entries AOT-compiled for a different host CPU (SIGILL
+        # risk), and caching a one-off fallback has no value anyway.
+        _setup_jax_cache()
+    else:
+        if os.environ.get("BENCH_ALLOW_CPU", "1") == "0":
+            _emit({
+                "metric": "ten_crop_images_per_sec_per_chip_resnet50",
+                "value": None, "unit": "images/sec/chip",
+                "vs_baseline": None, "platform": "none",
+                "error": "TPU unavailable: " + " | ".join(errors),
+            })
+            return 1
+        platform = "cpu-fallback"
+        try:
+            _force_cpu()
+        except Exception:
+            errors.append(traceback.format_exc(limit=2))
+
+    if platform == "cpu-fallback":
+        batch = int(os.environ.get("BENCH_BATCH", "4"))
+        iters = int(os.environ.get("BENCH_ITERS", "3"))
+    else:
+        batch = int(os.environ.get("BENCH_BATCH", "64"))
+        iters = int(os.environ.get("BENCH_ITERS", "30"))
+
+    try:
+        per_chip = _measure(batch, iters)
+    except Exception as e:  # noqa: BLE001 - always emit an artifact
+        errors.append(f"measure: {type(e).__name__}: {e}")
+        _emit({
+            "metric": "ten_crop_images_per_sec_per_chip_resnet50",
+            "value": None, "unit": "images/sec/chip", "vs_baseline": None,
+            "platform": platform,
+            "error": " | ".join(errors),
+        })
+        return 1
+
     result = {
         "metric": "ten_crop_images_per_sec_per_chip_resnet50",
         "value": round(per_chip, 2),
         "unit": "images/sec/chip",
-        "vs_baseline": round(per_chip / 1250.0, 4),
+        "vs_baseline": round(per_chip / TARGET_PER_CHIP, 4),
+        "platform": platform,
     }
-    print(json.dumps(result))
-    return result
+    if errors:
+        result["error"] = " | ".join(errors)
+    _emit(result)
+    return 0
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())

@@ -47,6 +47,11 @@ def build_parser():
     p.add_argument("--exact_tta", action="store_true",
                    help="torchvision-exact host ten-crop geometry (strict "
                         "parity for imported reference checkpoints)")
+    p.add_argument("--tta_fold", default="prob_mean",
+                   choices=["prob_mean", "log_mean", "logit_mean"],
+                   help="how per-crop logits combine: prob_mean = mean of "
+                        "softmax probs (reference convention, default), "
+                        "log_mean = geometric, logit_mean = raw logits")
     return p
 
 
@@ -72,6 +77,7 @@ def main(argv=None):
         fast=args.fast,
         use_pallas=args.pallas,
         tta_mode="host_exact" if args.exact_tta else "device",
+        tta_fold=args.tta_fold,
     )
     df = engine.predict_dir(args.image_dir, batch_size=args.batch_size,
                             num_workers=args.num_workers)

@@ -37,6 +37,11 @@ def build_parser():
                    help="fold BatchNorm into conv weights at load")
     p.add_argument("--exact_tta", action="store_true",
                    help="torchvision-exact host ten-crop geometry")
+    p.add_argument("--tta_fold", default="prob_mean",
+                   choices=["prob_mean", "log_mean", "logit_mean"],
+                   help="how per-crop logits combine: prob_mean = mean of "
+                        "softmax probs (reference convention, default), "
+                        "log_mean = geometric, logit_mean = raw logits")
     return p
 
 
@@ -68,6 +73,7 @@ def main(argv=None):
                      args.checkpoint, os.getcwd()],
         fast=args.fast,
         tta_mode="host_exact" if args.exact_tta else "device",
+        tta_fold=args.tta_fold,
     )
     all_results = {}
     for image_dir, meta_file in zip(args.image_dirs, args.meta_files):

@@ -61,6 +61,7 @@ class InferenceEngine:
         use_pallas: bool = False,
         layout=None,
         tta_mode: str = "device",
+        tta_fold: str = "prob_mean",
     ):
         """fast=True folds BatchNorm into conv weights at load time
         (models/fast_infer.py) — identical predictions up to bf16 rounding;
@@ -70,7 +71,10 @@ class InferenceEngine:
         TTA crop axis folds into batch and shards with it).
         tta_mode: 'device' (default — crops from a 256 square inside jit)
         or 'host_exact' (torchvision-exact host ten-crop geometry for
-        strict parity on non-square images; forces n_crops=10)."""
+        strict parity on non-square images; forces n_crops=10).
+        tta_fold: how per-crop logits combine — 'prob_mean' (reference
+        convention, default), 'log_mean', or 'logit_mean'
+        (eval.infer.mean_tta_logits)."""
         mp = config.model_params
         if partitionings is None:
             paths = resolve_partitioning_paths(
@@ -108,6 +112,13 @@ class InferenceEngine:
             )
         if tta_mode not in ("device", "host_exact"):
             raise ValueError(f"unknown tta_mode {tta_mode!r}")
+        from .infer import TTA_FOLDS
+
+        if tta_fold not in TTA_FOLDS:
+            raise ValueError(
+                f"unknown tta_fold {tta_fold!r}; have {TTA_FOLDS}"
+            )
+        self.tta_fold = tta_fold
         self.tta_mode = tta_mode
         if tta_mode == "host_exact":
             self.n_crops = n_crops = 10
@@ -141,7 +152,8 @@ class InferenceEngine:
             else:
                 logits = self.model.apply(variables, x, train=False)
         with jax.named_scope("tta_hierarchy"):
-            logits = [mean_tta_logits(l, n_crops) for l in logits]
+            logits = [mean_tta_logits(l, n_crops, fold=self.tta_fold)
+                      for l in logits]
             return predict_all(logits, self.harrays)
 
     def predict_batch(self, images_u8: np.ndarray):

@@ -98,9 +98,36 @@ def predict_all(logits_list, harrays: HierarchyArrays):
     return preds
 
 
-def mean_tta_logits(logits, n_crops):
-    """Fold a (B*n_crops, C) logits tensor back to (B, C) by averaging
-    log-probabilities over the TTA crops (geometric mean of probs)."""
-    lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-    lp = lp.reshape(-1, n_crops, lp.shape[-1])
-    return lp.mean(axis=1)
+TTA_FOLDS = ("prob_mean", "log_mean", "logit_mean")
+
+
+def mean_tta_logits(logits, n_crops, fold: str = "prob_mean"):
+    """Fold a (B*n_crops, C) logits tensor back to (B, C) log-space scores
+    over the TTA crops.
+
+    fold modes:
+      * "prob_mean" (default): arithmetic mean of softmax probabilities —
+        the torch reference's convention (its inference softmaxed each crop
+        then averaged; torchvision's TenCrop recipe does the same), kept as
+        the default so an imported reference checkpoint reproduces the
+        reference's argmax exactly (docs/MIGRATION.md "parity without
+        retraining"). Returned as log(mean prob), staying in log space for
+        the downstream f* rule.
+      * "log_mean": mean of log-probabilities (geometric mean of probs) —
+        sharper; penalizes crops that disagree.
+      * "logit_mean": mean of raw logits.
+
+    All three produce (B, C) scores that downstream log_softmax normalizes;
+    they are NOT argmax-equivalent on real images, hence the configurable
+    knob with a reference-matching default.
+    """
+    x = logits.astype(jnp.float32).reshape(-1, n_crops, logits.shape[-1])
+    if fold == "prob_mean":
+        # log(mean_c softmax) == logsumexp_c(log_softmax) - log(n_crops)
+        lp = jax.nn.log_softmax(x, axis=-1)
+        return jax.nn.logsumexp(lp, axis=1) - jnp.log(float(n_crops))
+    if fold == "log_mean":
+        return jax.nn.log_softmax(x, axis=-1).mean(axis=1)
+    if fold == "logit_mean":
+        return x.mean(axis=1)
+    raise ValueError(f"unknown tta fold {fold!r}; have {TTA_FOLDS}")

@@ -113,6 +113,14 @@ class ResNet(nn.Module):
         return x.astype(jnp.float32)
 
 
+def resnet14(dtype=jnp.bfloat16, **kw):
+    """Tiny 4-stage bottleneck net (one block per stage). Not a reference
+    architecture — exists so tests and the driver's multi-chip dry run can
+    exercise the full stem/4-stage/head topology (and hence the real
+    sharding layout) at a fraction of the compile time."""
+    return ResNet(stage_sizes=(1, 1, 1, 1), dtype=dtype, **kw)
+
+
 def resnet50(dtype=jnp.bfloat16, **kw):
     return ResNet(stage_sizes=(3, 4, 6, 3), dtype=dtype, **kw)
 
@@ -126,6 +134,7 @@ def resnet152(dtype=jnp.bfloat16, **kw):
 
 
 ARCHS: dict = {
+    "resnet14": resnet14,
     "resnet50": resnet50,
     "resnet101": resnet101,
     "resnet152": resnet152,
@@ -134,6 +143,7 @@ ARCHS: dict = {
 # Canonical stage sizes — the single source for anything that walks block
 # names (fast inference path, torch checkpoint importer).
 STAGE_SIZES: dict = {
+    "resnet14": (1, 1, 1, 1),
     "resnet50": (3, 4, 6, 3),
     "resnet101": (3, 4, 23, 3),
     "resnet152": (3, 8, 36, 3),

@@ -64,7 +64,13 @@ class MeshLayout:
 
     def params(self, params) -> "jax.tree_util.PyTreeDef":
         """Sharding tree for the model params: everything replicated except
-        the fused head, whose class dimension rides the model axis."""
+        the fused head, whose class dimension rides the model axis.
+
+        Also correct for optimizer-state trees (e.g. SGD momentum): optax
+        states embed the param tree, so each momentum leaf's key path
+        contains the same `fused_head` component and gets the same
+        placement as its param — avoiding a per-step reshard of the
+        largest tensor's momentum (the 2048 x ~23.4k head kernel)."""
         def assign(path, leaf):
             names = [getattr(k, "key", getattr(k, "name", "")) for k in path]
             if "fused_head" in names:

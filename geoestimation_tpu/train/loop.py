@@ -90,9 +90,10 @@ class Trainer:
             batch_stats=jax.tree.map(
                 lambda _: self.layout.replicated(), state.batch_stats
             ),
-            opt_state=jax.tree.map(
-                lambda _: self.layout.replicated(), state.opt_state,
-            ),
+            # momentum follows its param's placement (head momentum on the
+            # model axis) — replicating it would reshard the largest tensor
+            # every step
+            opt_state=self.layout.params(state.opt_state),
             tx=state.tx,
             apply_fn=state.apply_fn,
         )
@@ -277,10 +278,16 @@ class Trainer:
                         self.metrics.log(step, {"loss": loss, "lr": lr,
                                                 "images_per_sec": ips},
                                          prefix="train/")
-                    if tp.checkpoint_every_steps and \
-                            step % tp.checkpoint_every_steps == 0:
+                    do_ckpt = (tp.checkpoint_every_steps and
+                               step % tp.checkpoint_every_steps == 0)
+                    do_val = (tp.val_every_steps and
+                              step % tp.val_every_steps == 0)
+                    if do_ckpt:
+                        # _checkpoint runs (and logs) validation itself, so
+                        # a coinciding val_every_steps boundary must not run
+                        # the full val set a second time
                         self._checkpoint(state, step, eval_fn)
-                    if tp.val_every_steps and step % tp.val_every_steps == 0:
+                    elif do_val:
                         self.log(f"val @ {step}: "
                                  f"{self.validate(state, eval_fn)}")
                     if self._interrupted:

@@ -12,9 +12,12 @@ backward -> SGD step, with DDP all-reduce on multi-GPU. TPU-native design:
   * `donate_argnums` on the train state: params/opt_state buffers are
     reused in place, halving peak HBM.
   * Backbone runs bf16; loss/grad accumulate fp32 (params fp32).
-  * BN statistics update per-shard and are periodically synchronized
-    (`sync_batch_stats`) via a mean across data shards — same strategy as
-    the reference's torch DDP (local BN) with an explicit sync point.
+  * BN statistics are global-batch by construction: the step is one jit
+    over the whole (sharded) batch with replicated batch_stats outputs, so
+    XLA inserts the cross-shard mean itself — there is no separate sync
+    step, and none is needed as long as training stays single-controller
+    GSPMD (this framework's only supported mode; multi-controller pmap is
+    not a code path here).
 """
 
 from __future__ import annotations
@@ -203,14 +206,3 @@ def make_jitted_eval_step(layout: MeshLayout, crop=224, dtype=jnp.bfloat16):
         fn,
         in_shardings=(None, layout.batch(), layout.labels()),
     )
-
-
-def sync_batch_stats(state: TrainState) -> TrainState:
-    """Cross-replica mean of BN running stats.
-
-    Under jit-with-shardings the stats are already consistent (the BN
-    update ran on the full sharded batch with XLA handling the reduce), so
-    this is a no-op there; it exists for pmap-style multi-process use and
-    as an explicit sync point before checkpointing.
-    """
-    return state

@@ -30,13 +30,23 @@ def native_mod():
 RNG = np.random.default_rng(7)
 
 
+def _numpy_leaf_ids(lat, lng):
+    """The pure-numpy pipeline, bypassing s2.latlng_to_cell_id's native
+    dispatch (which at >= _NATIVE_MIN_N points would compare native to
+    itself)."""
+    face, u, v = s2.xyz_to_face_uv(s2.latlng_to_xyz(lat, lng))
+    return s2.from_face_ij(
+        face, s2.st_to_ij(s2.uv_to_st(u)), s2.st_to_ij(s2.uv_to_st(v))
+    )
+
+
 class TestNativeS2:
     def test_latlng_to_cell_id(self, native_mod):
         lat = RNG.uniform(-89.9, 89.9, 20000)
         lng = RNG.uniform(-180, 180, 20000)
         np.testing.assert_array_equal(
             native_mod.latlng_to_cell_id(lat, lng),
-            s2.latlng_to_cell_id(lat, lng),
+            _numpy_leaf_ids(lat, lng),
         )
 
     def test_parent_and_level(self, native_mod):
