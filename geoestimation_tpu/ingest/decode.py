@@ -132,9 +132,12 @@ def decode_pil_tencrop(data: bytes, resize_to=DEFAULT_RESIZE, crop=224):
     """
     img = Image.open(io.BytesIO(data)).convert("RGB")
     w, h = img.size
-    scale = resize_to / min(w, h)
-    nw = max(int(round(w * scale)), resize_to)
-    nh = max(int(round(h * scale)), resize_to)
+    # torchvision Resize(int) semantics: shorter side -> resize_to, longer
+    # side floor-scaled (int(size * long / short)), not rounded.
+    if w <= h:
+        nw, nh = resize_to, int(resize_to * h / w)
+    else:
+        nw, nh = int(resize_to * w / h), resize_to
     img = img.resize((nw, nh), Image.BILINEAR)
     arr = np.asarray(img, dtype=np.uint8)
     cc_top, cc_left = (nh - crop) // 2, (nw - crop) // 2

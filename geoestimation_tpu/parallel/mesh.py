@@ -104,11 +104,27 @@ def make_mesh(
             f"mesh {n_data}x{n_model} != {total} devices"
         )
     if dcn_data > 1:
-        mesh_devices = mesh_utils.create_hybrid_device_mesh(
-            (n_data // dcn_data, n_model),
-            dcn_mesh_shape=(dcn_data, 1),
-            devices=devices,
-        ).reshape(n_data, n_model)
+        if n_data % dcn_data:
+            raise ValueError(
+                f"data axis {n_data} not divisible by dcn_data={dcn_data}"
+            )
+        slice_ids = {getattr(d, "slice_index", None) for d in devices}
+        if None not in slice_ids and len(slice_ids) == dcn_data:
+            # Real multi-slice topology: let jax order devices so the outer
+            # data axis crosses slices (DCN) and the inner rides ICI.
+            mesh_devices = mesh_utils.create_hybrid_device_mesh(
+                (n_data // dcn_data, n_model),
+                dcn_mesh_shape=(dcn_data, 1),
+                devices=devices,
+            ).reshape(n_data, n_model)
+        else:
+            # Virtual slices (CPU test substrate, or dcn_data used to
+            # emulate a hierarchy on one slice): contiguous groups in
+            # enumeration order. The logical mesh and all shardings are
+            # identical to the hardware case; only the physical transport
+            # assignment differs, which only exists on real multi-slice
+            # hardware.
+            mesh_devices = np.array(devices).reshape(n_data, n_model)
     else:
         mesh_devices = mesh_utils.create_device_mesh(
             (n_data, n_model), devices=devices

@@ -1,0 +1,327 @@
+"""Accuracy-parity dress rehearsal: torch ckpt -> import -> full CLI path.
+
+VERDICT r1 missing #3 / next #8: prove that an imported reference-style
+checkpoint produces the SAME accuracy table through `classification.test`
+that the torch stack itself computes — extending the single-forward parity
+test (test_torch_import.py) to the complete user-visible path:
+
+  torch "training" (real SGD + live BN stats) on a synthetic world
+    -> Lightning-style .ckpt (state_dict + 'model.' prefixes)
+    -> tools/import_torch_checkpoint CLI (orbax checkpoint + hparams)
+    -> python -m classification.test --exact_tta --tta_fold prob_mean
+    == an independent torch-side eval stack (PIL decode, torchvision
+       Resize/TenCrop semantics, softmax-prob mean, f* rule, haversine
+       GCD thresholds) computed in this file.
+
+The torch side re-implements decode/TTA/fold/metrics from the documented
+torchvision semantics (Resize floor-scales the long side; TenCrop = 4
+corners + center + horizontal flips) rather than importing this package's
+ingest code, so the comparison exercises our host `--exact_tta` path
+against an independent realization. The S2 hierarchy gather maps are the
+one shared component (they derive from the same cell CSVs either way and
+carry their own oracle tests, tests/test_s2_groundtruth.py / test_geo.py).
+
+Uses the resnet14 layout (full stem/4-stage/downsample/head topology) to
+keep CPU runtime sane; resnet50-layout weight-mapping parity is covered by
+tests/test_torch_import.py.
+"""
+
+import io
+import os
+import sys
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+from PIL import Image  # noqa: E402
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import import_torch_checkpoint as imp  # noqa: E402
+
+ARCH = "resnet14"
+STAGES = (1, 1, 1, 1)
+RNG = np.random.default_rng(42)
+N_EVAL = 8
+THRESHOLDS = (1.0, 25.0, 200.0, 750.0, 2500.0)
+IMAGENET_MEAN = (0.485, 0.456, 0.406)
+IMAGENET_STD = (0.229, 0.224, 0.225)
+
+
+# ---------------------------------------------------------------------------
+# torch-side model (torchvision parameter layout), trainable
+# ---------------------------------------------------------------------------
+
+
+def make_torch_params(n_classes):
+    def t(shape, scale=0.05, grad=True):
+        x = torch.tensor(RNG.normal(0, scale, shape).astype(np.float32))
+        x.requires_grad_(grad)
+        return x
+
+    sd = {}
+
+    def add_bn(prefix, c):
+        sd[f"{prefix}.weight"] = t((c,), 0.2)
+        with torch.no_grad():
+            sd[f"{prefix}.weight"] += 1.0
+        sd[f"{prefix}.bias"] = t((c,), 0.1)
+        sd[f"{prefix}.running_mean"] = torch.zeros(c)
+        sd[f"{prefix}.running_var"] = torch.ones(c)
+
+    sd["conv1.weight"] = t((64, 3, 7, 7))
+    add_bn("bn1", 64)
+    cin = 64
+    for stage, n_blocks in enumerate(STAGES):
+        cmid = 64 * (2 ** stage)
+        cout = cmid * 4
+        for b in range(n_blocks):
+            p = f"layer{stage + 1}.{b}"
+            sd[f"{p}.conv1.weight"] = t((cmid, cin, 1, 1))
+            add_bn(f"{p}.bn1", cmid)
+            sd[f"{p}.conv2.weight"] = t((cmid, cmid, 3, 3))
+            add_bn(f"{p}.bn2", cmid)
+            sd[f"{p}.conv3.weight"] = t((cout, cmid, 1, 1))
+            add_bn(f"{p}.bn3", cout)
+            if b == 0:
+                sd[f"{p}.downsample.0.weight"] = t((cout, cin, 1, 1))
+                add_bn(f"{p}.downsample.1", cout)
+            cin = cout
+    for i, n in enumerate(n_classes):
+        sd[f"classifier.{i}.weight"] = t((n, 2048))
+        sd[f"classifier.{i}.bias"] = t((n,), 0.1)
+    return sd
+
+
+def torch_forward(sd, x, training=False):
+    import torch.nn.functional as F
+
+    def bn(v, p):
+        return F.batch_norm(
+            v, sd[f"{p}.running_mean"], sd[f"{p}.running_var"],
+            sd[f"{p}.weight"], sd[f"{p}.bias"], training=training,
+            momentum=0.1, eps=1e-5,
+        )
+
+    v = F.conv2d(x, sd["conv1.weight"], stride=2, padding=3)
+    v = F.relu(bn(v, "bn1"))
+    v = F.max_pool2d(v, 3, stride=2, padding=1)
+    for stage, n_blocks in enumerate(STAGES):
+        for b in range(n_blocks):
+            p = f"layer{stage + 1}.{b}"
+            stride = 2 if stage > 0 and b == 0 else 1
+            res = v
+            y = F.relu(bn(F.conv2d(v, sd[f"{p}.conv1.weight"]), f"{p}.bn1"))
+            y = F.relu(bn(F.conv2d(y, sd[f"{p}.conv2.weight"],
+                                   stride=stride, padding=1), f"{p}.bn2"))
+            y = bn(F.conv2d(y, sd[f"{p}.conv3.weight"]), f"{p}.bn3")
+            if f"{p}.downsample.0.weight" in sd:
+                res = bn(F.conv2d(v, sd[f"{p}.downsample.0.weight"],
+                                  stride=stride), f"{p}.downsample.1")
+            v = F.relu(y + res)
+    feats = v.mean(dim=(2, 3))
+    n_heads = len([k for k in sd if k.startswith("classifier.")
+                   and k.endswith(".weight")])
+    return [
+        feats @ sd[f"classifier.{i}.weight"].T + sd[f"classifier.{i}.bias"]
+        for i in range(n_heads)
+    ]
+
+
+def train_torch(sd, n_classes, steps=5, batch=4, size=96):
+    """Real SGD steps (live BN running-stat updates) on random data — the
+    point is a checkpoint whose BN statistics and heads are not at init."""
+    import torch.nn.functional as F
+
+    params = [v for v in sd.values() if v.requires_grad]
+    opt = torch.optim.SGD(params, lr=0.02, momentum=0.9)
+    for step in range(steps):
+        x = torch.tensor(
+            RNG.normal(0, 1, (batch, 3, size, size)).astype(np.float32)
+        )
+        labels = [
+            torch.tensor(RNG.integers(0, n, batch).astype(np.int64))
+            for n in n_classes
+        ]
+        logits = torch_forward(sd, x, training=True)
+        loss = sum(F.cross_entropy(lg, lb) for lg, lb in zip(logits, labels))
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+
+
+# ---------------------------------------------------------------------------
+# torch-side eval stack (torchvision semantics, implemented independently)
+# ---------------------------------------------------------------------------
+
+
+def pil_tencrop(path, resize_to=256, crop=224):
+    img = Image.open(path).convert("RGB")
+    w, h = img.size
+    if w <= h:  # torchvision Resize(int): floor-scale the long side
+        nw, nh = resize_to, int(resize_to * h / w)
+    else:
+        nw, nh = int(resize_to * w / h), resize_to
+    arr = np.asarray(img.resize((nw, nh), Image.BILINEAR), np.uint8)
+    cc_t, cc_l = (nh - crop) // 2, (nw - crop) // 2
+    offs = [(0, 0), (0, nw - crop), (nh - crop, 0), (nh - crop, nw - crop),
+            (cc_t, cc_l)]
+    crops = [arr[t:t + crop, l:l + crop] for t, l in offs]
+    crops += [c[:, ::-1] for c in crops]  # same set as torchvision TenCrop
+    return np.stack(crops)
+
+
+def normalize_torch(u8):
+    x = torch.tensor(u8.astype(np.float32)) / 255.0
+    mean = torch.tensor(IMAGENET_MEAN).view(1, 3, 1, 1)
+    std = torch.tensor(IMAGENET_STD).view(1, 3, 1, 1)
+    return (x.permute(0, 3, 1, 2) - mean) / std
+
+
+def haversine_km(lat1, lng1, lat2, lng2):
+    r = 6371.0
+    p1, p2 = np.radians(lat1), np.radians(lat2)
+    dp = p2 - p1
+    dl = np.radians(lng2) - np.radians(lng1)
+    a = np.sin(dp / 2) ** 2 + np.cos(p1) * np.cos(p2) * np.sin(dl / 2) ** 2
+    return 2 * r * np.arcsin(np.sqrt(np.clip(a, 0, 1)))
+
+
+def torch_side_tables(sd, image_dir, meta, hierarchy, partitionings):
+    """The reference eval: ten-crop -> softmax-prob mean -> per-head argmax
+    + f* -> GCD threshold accuracies. Returns {p_key: {thr: frac}}."""
+    names = [p.name for p in partitionings] + ["hierarchy"]
+    hits = {k: np.zeros(len(THRESHOLDS)) for k in names}
+    total = 0
+    maps = [np.asarray(m) for m in hierarchy.maps]
+    valid = np.asarray(hierarchy.valid)
+    files = sorted(os.listdir(image_dir))
+    gt = {str(r.IMG_ID): (r.LAT, r.LON) for r in meta.itertuples()}
+    for fname in files:
+        crops = pil_tencrop(os.path.join(image_dir, fname))
+        with torch.no_grad():
+            logits = torch_forward(sd, normalize_torch(crops))
+        probs = [torch.softmax(lg, dim=-1).numpy().mean(0) for lg in logits]
+        glat, glng = gt[fname]
+        total += 1
+        # per-partitioning argmax
+        for p, pr in zip(partitionings, probs):
+            c = int(pr.argmax())
+            d = haversine_km(p.lat[c], p.lng[c], glat, glng)
+            hits[p.name] += np.asarray(THRESHOLDS) >= d
+        # f*: product of ancestor probs over fine cells
+        score = np.ones_like(probs[-1])
+        for pr, m in zip(probs, maps):
+            score = score * pr[m]
+        score = np.where(valid, score, -np.inf)
+        c = int(score.argmax())
+        fine = partitionings[-1]
+        d = haversine_km(fine.lat[c], fine.lng[c], glat, glng)
+        hits["hierarchy"] += np.asarray(THRESHOLDS) >= d
+    return {
+        k: {t: float(h) / total for t, h in zip(THRESHOLDS, v)}
+        for k, v in hits.items()
+    }
+
+
+# ---------------------------------------------------------------------------
+# the rehearsal
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def world(tmp_path_factory, geo_parts):
+    root = tmp_path_factory.mktemp("rehearsal")
+    cell_files = []
+    for p in geo_parts:
+        path = str(root / f"cells_{p.name}.csv")
+        p.to_csv(path)
+        cell_files.append(path)
+
+    img_dir = root / "images"
+    img_dir.mkdir()
+    rows = []
+    sizes = [(300, 256), (256, 340), (280, 280), (320, 264),
+             (256, 256), (272, 304), (258, 310), (330, 258)]
+    for i in range(N_EVAL):
+        w, h = sizes[i % len(sizes)]
+        # distinct dominant color + noise per image so an untrained-ish
+        # net still produces varied predictions across images
+        base = np.zeros((h, w, 3), np.float32)
+        base[..., i % 3] = 80 + 20 * i
+        base[..., (i + 1) % 3] = 255 - 25 * i
+        arr = np.clip(
+            base + RNG.normal(0, 40, (h, w, 3)), 0, 255
+        ).astype(np.uint8)
+        name = f"img_{i:03d}.jpg"
+        Image.fromarray(arr).save(img_dir / name, quality=90)
+        rows.append((name, float(RNG.uniform(47.6, 49.4)),
+                     float(RNG.uniform(1.6, 3.4))))
+    import pandas as pd
+
+    meta = pd.DataFrame(rows, columns=["IMG_ID", "LAT", "LON"])
+    meta_path = str(root / "meta.csv")
+    meta.to_csv(meta_path, index=False)
+    return root, cell_files, str(img_dir), meta_path, meta
+
+
+def test_full_cli_table_matches_torch_stack(world, geo_parts):
+    root, cell_files, img_dir, meta_path, meta = world
+    n_classes = [len(p) for p in geo_parts]
+
+    # 1. torch-side training -> Lightning-style checkpoint
+    sd = make_torch_params(n_classes)
+    train_torch(sd, n_classes)
+    ckpt_path = str(root / "epoch=004-val_loss=1.0.ckpt")
+    with torch.no_grad():
+        torch.save(
+            {"state_dict": {f"model.{k}": v.detach() for k, v in sd.items()},
+             "hyper_parameters": {"arch": ARCH}},
+            ckpt_path,
+        )
+
+    # 2. import via the real CLI
+    out_dir = str(root / "imported")
+    imp.main([
+        "--torch_ckpt", ckpt_path,
+        "--cell_files", *cell_files,
+        "--output", out_dir,
+        "--arch", ARCH,
+    ])
+
+    # 3. our full CLI path (host-exact TTA, reference fold, fp32)
+    from classification.test import main as test_main
+
+    all_results = test_main([
+        "--checkpoint", out_dir,
+        "--image_dirs", img_dir,
+        "--meta_files", meta_path,
+        "--cpu", "--precision", "32", "--crops", "10",
+        "--exact_tta", "--tta_fold", "prob_mean",
+        "--batch_size", str(N_EVAL),
+    ])
+    ours = all_results[os.path.basename(img_dir)]
+
+    # 4. independent torch-side eval
+    from geoestimation_tpu.geo import Hierarchy
+
+    hierarchy = Hierarchy.build(geo_parts)
+    theirs = torch_side_tables(sd, img_dir, meta, hierarchy, geo_parts)
+
+    # 5. tables must agree exactly (same hit counts per threshold)
+    assert "_n_images_without_meta" not in ours
+    for p_key, expect in theirs.items():
+        got = ours[p_key]
+        got = {float(k): v for k, v in got.items()}
+        for thr in THRESHOLDS:
+            assert got[thr] == expect[thr], (
+                f"{p_key}@{thr}km: ours={got[thr]} torch={expect[thr]}"
+            )
+    # non-degenerate evidence: the table must contain both a hit and a
+    # miss somewhere, so the everything-broken (all-zero) and trivially
+    # -saturated cases can't pass vacuously
+    vals = [theirs[k][t] for k in theirs for t in THRESHOLDS]
+    assert any(v > 0.0 for v in vals), theirs
+    assert any(v < 1.0 for v in vals), theirs
