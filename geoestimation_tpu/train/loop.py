@@ -154,12 +154,25 @@ class Trainer:
     def validate(self, state: TrainState, eval_step_fn) -> dict:
         batcher = self._batcher(self.tp.val_shards, self.tp.val_labels,
                                 shuffle=False, seed=0)
+        isn = self.config.model_params.scene_gating
         losses = []
+        scene_correct = scene_total = 0
         gcd = GcdAccumulator()
         for batch in batcher:
-            metrics, logits = eval_step_fn(
-                state, jnp.asarray(batch.images), jnp.asarray(batch.labels)
-            )
+            if isn:
+                scene = batch.scene if batch.scene is not None \
+                    else np.full(batch.images.shape[0], -1, np.int32)
+                metrics, logits = eval_step_fn(
+                    state, jnp.asarray(batch.images),
+                    jnp.asarray(batch.labels), jnp.asarray(scene),
+                )
+                scene_correct += int(metrics["scene_correct"])
+                scene_total += int(metrics["scene_total"])
+            else:
+                metrics, logits = eval_step_fn(
+                    state, jnp.asarray(batch.images),
+                    jnp.asarray(batch.labels),
+                )
             losses.append(float(metrics["val_loss"]))
             if batch.latlng is not None:
                 _, plat, plng = predict_hierarchical(list(logits),
@@ -174,6 +187,8 @@ class Trainer:
                     )
                     gcd.update(counts, total)
         out = {"val_loss": float(np.mean(losses)) if losses else float("nan")}
+        if scene_total:
+            out["scene_acc"] = scene_correct / scene_total
         if gcd.total:
             out.update({f"gcd@{int(k)}km": v for k, v in gcd.result().items()})
         return out
@@ -217,8 +232,15 @@ class Trainer:
                 crop_scale=tuple(tp.train_crop_scale)
                 if tp.train_crop_scale else None,
             )
-        eval_fn = make_jitted_eval_step(self.layout, crop=tp.image_size,
-                                        dtype=self.model.dtype)
+        if isn:
+            from .step import make_jitted_isn_eval_step
+
+            eval_fn = make_jitted_isn_eval_step(
+                self.layout, crop=tp.image_size, dtype=self.model.dtype
+            )
+        else:
+            eval_fn = make_jitted_eval_step(self.layout, crop=tp.image_size,
+                                            dtype=self.model.dtype)
         rng = jax.device_put(jax.random.PRNGKey(tp.seed),
                              self.layout.replicated())
 

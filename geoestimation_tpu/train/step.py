@@ -166,6 +166,44 @@ def train_step_isn(state: TrainState, images_u8, labels, scene, rng,
     return new_state, metrics
 
 
+def eval_step_isn(state: TrainState, images_u8, labels, scene,
+                  crop: int = 224, dtype=jnp.bfloat16):
+    """ISN validation: geo loss on the *predicted-scene* head (the routing
+    used at inference) + scene-classification counts. scene: (B,) int32,
+    -1 = unknown (excluded from accuracy)."""
+    import jax
+
+    from ..ingest.pipeline import center_crop, normalize
+
+    x = normalize(center_crop(images_u8, crop), dtype)
+    scene_logits, heads = state.apply_fn(
+        {"params": state.params, "batch_stats": state.batch_stats},
+        x, train=False, method="with_scene",
+    )
+    route = jnp.argmax(scene_logits, -1)
+    gate = jax.nn.one_hot(route, scene_logits.shape[-1], dtype=jnp.float32)
+    gated = [jnp.einsum("bsc,bs->bc", h, gate) for h in heads]
+    total, per_head = multi_head_cross_entropy(gated, labels)
+    s_valid = scene >= 0
+    metrics = {
+        "val_loss": total,
+        **{f"val_loss_head{i}": l for i, l in enumerate(per_head)},
+        "scene_correct": ((route == scene) & s_valid).sum(),
+        "scene_total": s_valid.sum(),
+    }
+    return metrics, gated
+
+
+def make_jitted_isn_eval_step(layout: MeshLayout, crop=224,
+                              dtype=jnp.bfloat16):
+    fn = functools.partial(eval_step_isn, crop=crop, dtype=dtype)
+    return jax.jit(
+        fn,
+        in_shardings=(None, layout.batch(), layout.labels(),
+                      layout.batch()),
+    )
+
+
 def make_jitted_isn_train_step(layout: MeshLayout, label_smoothing=0.0,
                                crop=224, dtype=jnp.bfloat16,
                                scene_loss_weight=1.0, crop_scale=None):

@@ -38,10 +38,32 @@ CITIES = [
 ]
 
 
-def jpeg_bytes(rng, w=320, h=280):
-    arr = rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
+def scene_image(rng, scene, cue, w=320, h=280):
+    """Synthetic image whose appearance encodes (scene, cue).
+
+    scene (0=indoor, 1=natural, 2=urban) sets the dominant color channel —
+    a learnable Places365-S3 stand-in for the ISN recipe (reference
+    README.md:56-57, 209-210). cue sets a vertical stripe pattern — the
+    geo-relevant visual signal. Both survive random 64+ crops (global
+    color, coarse stripes)."""
+    base = np.full((h, w, 3), 60.0, np.float32)
+    base[..., scene % 3] = 185.0
+    # cue is 2 bits: bit0 -> vertical stripes, bit1 -> horizontal stripes,
+    # short fixed period so any 64px crop of the resized image still sees
+    # several full periods.
+    period = max(6, w // 12)
+    xs = np.arange(w, dtype=np.float32)
+    ys = np.arange(h, dtype=np.float32)
+    if cue & 1:
+        base += 45.0 * np.sign(np.sin(2 * np.pi * xs / period))[None, :,
+                                                                None]
+    if cue & 2:
+        base += 45.0 * np.sign(np.sin(2 * np.pi * ys / period))[:, None,
+                                                                None]
+    arr = np.clip(base + rng.normal(0, 18, (h, w, 3)), 0, 255)
     buf = io.BytesIO()
-    Image.fromarray(arr).save(buf, format="JPEG", quality=88)
+    Image.fromarray(arr.astype(np.uint8)).save(buf, format="JPEG",
+                                               quality=88)
     return buf.getvalue()
 
 
@@ -51,6 +73,17 @@ def main(argv=None):
     p.add_argument("--n_train", type=int, default=512)
     p.add_argument("--n_eval", type=int, default=32)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--image_size", type=int, default=224,
+                   help="training crop size (also scales the synthetic "
+                        "JPEG dimensions)")
+    p.add_argument("--arch", default="resnet50",
+                   help="backbone written into the configs (resnet14 for "
+                        "fast CPU smoke runs)")
+    p.add_argument("--scene_world", action="store_true",
+                   help="entangle location with (scene, stripe-cue): the "
+                        "same visual cue means a different city per scene, "
+                        "so per-scene heads (ISN) have an edge over the "
+                        "base model — the ISN demo/benchmark world")
     args = p.parse_args(argv)
 
     from geoestimation_tpu.data import shards
@@ -69,6 +102,21 @@ def main(argv=None):
             lngs.append(clng + rng.normal(0, 0.4))
         return np.array(lats), np.array(lngs)
 
+    # examples: scene (color) and cue (stripes) drive the image; location
+    # follows the cue — and in --scene_world the (cue, scene) pair, so the
+    # same stripes mean a different city per scene (per-scene heads can
+    # express that linearly; a single shared head cannot).
+    jw, jh = args.image_size + 40, args.image_size + 24
+
+    def make_example(i):
+        scene = i % 3
+        cue = (i // 3) % len(CITIES)
+        city = (cue + scene) % len(CITIES) if args.scene_world else cue
+        clat, clng = CITIES[city]
+        lat = clat + rng.normal(0, 0.4)
+        lng = clng + rng.normal(0, 0.4)
+        return scene, cue, lat, lng
+
     # dense coordinate set for building partitionings
     plat, plng = sample(6000)
     cells_dir = os.path.join(root, "resources", "s2_cells")
@@ -85,18 +133,22 @@ def main(argv=None):
         print(f"{fn}: {len(res.partitioning)} cells")
 
     # training shards + labels
-    tlat, tlng = sample(args.n_train)
+    examples = [make_example(i) for i in range(args.n_train)]
+    tlat = np.array([e[2] for e in examples])
+    tlng = np.array([e[3] for e in examples])
     labels = assign_classes(tlat, tlng, parts)
     rows = []
     per_shard = max(64, args.n_train // 4)
     for s in range(0, args.n_train, per_shard):
         recs = []
         for i in range(s, min(s + per_shard, args.n_train)):
+            scene, cue, lat, lng = examples[i]
             img_id = f"train_{i:05d}"
-            recs.append({"id": img_id, "image": jpeg_bytes(rng),
-                         "lat": float(tlat[i]), "lng": float(tlng[i])})
+            recs.append({"id": img_id,
+                         "image": scene_image(rng, scene, cue, jw, jh),
+                         "lat": float(lat), "lng": float(lng)})
             rows.append((img_id, labels[0, i], labels[1, i], labels[2, i],
-                         i % 3))
+                         scene))
         shards.write_shard(
             recs,
             os.path.join(root, "shards", f"shard_{s // per_shard:05d}.msgpack"),
@@ -105,24 +157,26 @@ def main(argv=None):
         rows, columns=["IMG_ID", "coarse", "middle", "fine", "S3_Label"]
     ).to_csv(os.path.join(root, "train_labels.csv"), index=False)
 
-    # eval images + meta
+    # eval images + meta (offset index so eval draws fresh noise but the
+    # same (scene, cue) -> location law)
     eval_dir = os.path.join(root, "eval_images")
     os.makedirs(eval_dir, exist_ok=True)
-    elat, elng = sample(args.n_eval)
     meta = []
     for i in range(args.n_eval):
+        scene, cue, lat, lng = make_example(i + 1)
         img_id = f"eval_{i:04d}.jpg"
         with open(os.path.join(eval_dir, img_id), "wb") as f:
-            f.write(jpeg_bytes(rng))
-        meta.append((img_id, float(elat[i]), float(elng[i])))
+            f.write(scene_image(rng, scene, cue, jw, jh))
+        meta.append((img_id, float(lat), float(lng)))
     pd.DataFrame(meta, columns=["IMG_ID", "LAT", "LON"]).to_csv(
         os.path.join(root, "eval_meta.csv"), index=False
     )
 
-    # config
+    # configs: base + ISN recipe (same world; scene labels come from the
+    # S3_Label column of train_labels.csv, reference README.md:209-210)
     config = {
         "model_params": {
-            "arch": "resnet50",
+            "arch": args.arch,
             "dtype": "bfloat16",
             "partitionings": {
                 "shortnames": ["coarse", "middle", "fine"],
@@ -144,13 +198,30 @@ def main(argv=None):
             "checkpoint_dir": os.path.join(root, "ckpt"),
             "checkpoint_every_steps": 0,
             "log_every_steps": 5,
-            "image_size": 224,
+            "image_size": args.image_size,
         },
     }
     cfg_path = os.path.join(root, "demo.yml")
     with open(cfg_path, "w") as f:
         yaml.safe_dump(config, f, sort_keys=False)
-    print(f"demo world ready: {root}\n  config: {cfg_path}")
+
+    import copy
+
+    isn_config = copy.deepcopy(config)
+    isn_config["model_params"]["scene_gating"] = True
+    isn_config["model_params"]["n_scenes"] = 3
+    isn_config["train_params"]["val_labels"] = os.path.join(
+        root, "train_labels.csv"
+    )
+    isn_config["train_params"]["checkpoint_dir"] = os.path.join(
+        root, "ckpt_isn"
+    )
+    isn_path = os.path.join(root, "isn.yml")
+    with open(isn_path, "w") as f:
+        yaml.safe_dump(isn_config, f, sort_keys=False)
+    print(f"demo world ready: {root}\n  config: {cfg_path}\n"
+          f"  ISN config: {isn_path}"
+          + ("  (scene-entangled world)" if args.scene_world else ""))
 
 
 if __name__ == "__main__":
