@@ -79,7 +79,7 @@ def _xla_block(x, fb, stride):
     return jnp.maximum(y + res, 0).astype(jnp.bfloat16)
 
 
-def _pallas_block(x, fb, images_per_tile, stride=1):
+def _pallas_block(x, fb, images_per_tile, stride=1, logical_w=None):
     w1, b1 = fb["conv1"]
     w2, b2 = fb["conv2"]
     w3, b3 = fb["conv3"]
@@ -101,6 +101,7 @@ def _pallas_block(x, fb, images_per_tile, stride=1):
         wd=None if wd is None else wd.reshape(wd.shape[-2], wd.shape[-1]),
         bd=bd,
         images_per_tile=images_per_tile,
+        logical_w=logical_w,
     )
 
 
@@ -133,8 +134,9 @@ def build_fast_apply(variables, arch="resnet50", n_classes=None,
         np.asarray(bb_s["bn1"]["var"], np.float32),
         eps,
     )
-    blocks = []
+    stages = []
     for stage, n_blocks in enumerate(stage_sizes):
+        blocks = []
         for bidx in range(n_blocks):
             name = f"layer{stage + 1}_block{bidx}"
             fb = _fold_block(bb_p[name], bb_s[name], eps)
@@ -146,6 +148,7 @@ def build_fast_apply(variables, arch="resnet50", n_classes=None,
             blocks.append((fb, stride, pallas_ok,
                            PALLAS_STAGES.get(stage, 1) if stride == 1
                            else 1))
+        stages.append(blocks)
 
     # Heads: base classifier has a single fused head; ISN carries a scene
     # head plus per-scene geo heads and hard-routes by scene argmax.
@@ -166,9 +169,10 @@ def build_fast_apply(variables, arch="resnet50", n_classes=None,
                                 jnp.float32)
     stem_k = jnp.asarray(stem_k, jnp.bfloat16)
     stem_b = jnp.asarray(stem_b, jnp.float32)
-    blocks = [
-        (jax.tree.map(jnp.asarray, fb), stride, pallas_ok, npi)
-        for fb, stride, pallas_ok, npi in blocks
+    stages = [
+        [(jax.tree.map(jnp.asarray, fb), stride, pallas_ok, npi)
+         for fb, stride, pallas_ok, npi in blocks]
+        for blocks in stages
     ]
 
     def apply(images):
@@ -183,11 +187,39 @@ def build_fast_apply(variables, arch="resnet50", n_classes=None,
             x, -jnp.inf, jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1),
             ((0, 0), (1, 1), (1, 1), (0, 0)),
         ).astype(jnp.bfloat16)
-        for fb, stride, pallas_ok, npi in blocks:
-            if pallas_ok and x.shape[0] % npi == 0 and x.shape[2] % 8 == 0:
-                x = _pallas_block(x, fb, npi, stride=stride)
+        for blocks in stages:
+            # stride-2 stage entry runs unpadded (Pallas s2 when enabled)
+            fb, stride, pallas_ok, npi = blocks[0]
+            if stride == 2 and pallas_ok and x.shape[0] % npi == 0 \
+                    and x.shape[2] % 8 == 0 and x.shape[2] % 2 == 0:
+                x = _pallas_block(x, fb, npi, stride=2)
+                rest = blocks[1:]
+            elif stride == 2:
+                x = _xla_block(x, fb, 2)
+                rest = blocks[1:]
             else:
-                x = _xla_block(x, fb, stride)
+                rest = blocks
+            if not rest:
+                continue
+            # stride-1 body: when the plane width isn't a multiple of 8
+            # (layer2's 28), carry the stage at padded width — pad once,
+            # run every fused block at logical_w, slice once
+            # (PERF_NOTES round-2 #3; ops/fused_bottleneck.py carry mode).
+            w = x.shape[2]
+            npi0 = rest[0][3]
+            fuse_stage = (rest[0][2] and x.shape[0] % npi0 == 0)
+            if fuse_stage and w % 8:
+                wbuf = -(-(w + 2) // 8) * 8
+                x = jnp.pad(x, ((0, 0), (0, 0), (0, wbuf - w), (0, 0)))
+                for fb, stride, _, npi in rest:
+                    x = _pallas_block(x, fb, npi, stride=1, logical_w=w)
+                x = x[:, :, :w, :]
+            elif fuse_stage:
+                for fb, stride, _, npi in rest:
+                    x = _pallas_block(x, fb, npi, stride=1)
+            else:
+                for fb, stride, _, npi in rest:
+                    x = _xla_block(x, fb, stride)
         feats = jnp.mean(x, axis=(1, 2), dtype=jnp.float32)
         logits = jax.lax.dot_general(
             feats.astype(jnp.bfloat16), head_kernel,

@@ -63,7 +63,8 @@ def _roll_w(s, shift, interpret):
 
 def _bottleneck_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref,
                        b3_ref, wd_ref, bd_ref, out_ref, ppad_ref, *, npi,
-                       h, w, wp, cmid, cout, has_downsample, interpret):
+                       h, w, wp, cmid, cout, has_downsample, interpret,
+                       carry=False):
     """npi image planes per grid step.
 
     Padded-width formulation: activations are carried at width `wp`
@@ -72,25 +73,41 @@ def _bottleneck_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref,
     zero-padded buffer — row taps are free slices of the untiled H axis,
     column taps are sublane rotations whose wrap-around pulls only zeros
     (cols [w, wp) are zero, and rotating by ±1 moves a zero column across
-    the seam). No masks (measured pathological on v5e), no
+    the seam). No per-tap masks (measured pathological on v5e), no
     non-tile-preserving reshapes (wp multiple of 8), and no sublane-offset
     copies at all: y1 is stored at column 0 so both the pad-in write and
     the final slice-out are tile-aligned.
 
-    Shapes:
-      x_ref:    (npi, H, W, Cin)        bf16
+    carry=True (the W % 8 != 0 stages, e.g. 28-wide layer2): x/out are
+    carried AT width wp with zero columns in [w, wp) — padded once at the
+    stage entry, sliced once at the stage exit — so every reshape stays
+    tile-preserving. Two single broadcast multiplies against a resident
+    (wp, C) column mask restore the zero-pad invariant (conv1's bias makes
+    pad columns relu(b1), and conv2/conv3 leak garbage into them); they
+    run on the store path, NOT between a roll and a matmul, which is what
+    made per-tap masking pathological.
+
+    Shapes (W_in == wp when carry else w):
+      x_ref:    (npi, H, W_in, Cin)     bf16
       w1:       (Cin, Cmid)             bf16  (BN-folded)
       w2:       (9, Cmid, Cmid)         bf16  (one (in, out) slab per tap)
       w3:       (Cmid, Cout)            bf16
       wd:       (Cin, Cout)             bf16  (downsample proj or dummy)
       b*:       (1, C)                  fp32
-      out_ref:  (npi, H, W, Cout)       bf16
+      out_ref:  (npi, H, W_in, Cout)    bf16
       ppad_ref: (npi, H+2, wp, Cmid)    bf16 scratch, zero-bordered
     """
     cin = x_ref.shape[-1]
-    rows = npi * h * w
+    w_in = wp if carry else w
+    rows = npi * h * w_in
     rows_p = npi * h * wp
     x2d = x_ref[:].reshape(rows, cin)
+
+    if carry:
+        # resident column mask: 1 for data columns [0, w), 0 for pad
+        colmask = (
+            jax.lax.broadcasted_iota(jnp.int32, (wp, cmid), 0) < w
+        ).astype(jnp.bfloat16)
 
     # conv1 (1x1) + bias + relu — one tall matmul for all npi images.
     y1 = jnp.dot(x2d, w1_ref[:], preferred_element_type=jnp.float32)
@@ -104,7 +121,13 @@ def _bottleneck_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref,
     def _init_pad():
         ppad_ref[:] = jnp.zeros_like(ppad_ref)
 
-    ppad_ref[:, 1:h + 1, 0:w, :] = y1.reshape(npi, h, w, cmid)
+    if carry:
+        # pad columns of x are zero, so y1 there is relu(b1): one masked
+        # store re-establishes the zero border the rolls depend on
+        y1 = y1.reshape(npi, h, wp, cmid) * colmask[None, None]
+        ppad_ref[:, 1:h + 1, :, :] = y1
+    else:
+        ppad_ref[:, 1:h + 1, 0:w, :] = y1.reshape(npi, h, w, cmid)
 
     # conv2 (3x3): 3 column rotations of the padded buffer (zero borders
     # make wrap-around harmless), 3 free row slices each, fp32 acc over
@@ -121,11 +144,14 @@ def _bottleneck_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref,
     y2 = jnp.maximum(acc + b2_ref[:], 0.0).astype(jnp.bfloat16)
 
     # conv3 (1x1) + bias on the padded grid (garbage columns are dropped
-    # by the final slice; they never feed neighboring positions). The
-    # slice [0, w) is tile-aligned.
+    # by the final slice / output mask; they never feed neighboring
+    # positions). The non-carry slice [0, w) is tile-aligned.
     y3 = jnp.dot(y2, w3_ref[:], preferred_element_type=jnp.float32)
     y3 = (y3 + b3_ref[:]).reshape(npi, h, wp, cout)
-    y3v = y3[:, :, 0:w, :].reshape(rows, cout)
+    if carry:
+        y3v = y3.reshape(rows, cout)
+    else:
+        y3v = y3[:, :, 0:w, :].reshape(rows, cout)
 
     # residual
     if has_downsample:
@@ -135,11 +161,21 @@ def _bottleneck_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref,
         res = x2d.astype(jnp.float32)
 
     out = jnp.maximum(y3v + res, 0.0).astype(jnp.bfloat16)
-    out_ref[:] = out.reshape(npi, h, w, cout)
+    if carry:
+        # conv3's bias (and conv2 leakage) made pad columns non-zero;
+        # restore the carried zero-pad invariant for the next block
+        outmask = (
+            jax.lax.broadcasted_iota(jnp.int32, (wp, cout), 0) < w
+        ).astype(jnp.bfloat16)
+        out = out.reshape(npi, h, wp, cout) * outmask[None, None]
+        out_ref[:] = out
+    else:
+        out_ref[:] = out.reshape(npi, h, w, cout)
 
 
 def fused_bottleneck(x, w1, b1, w2, b2, w3, b3, wd=None, bd=None,
-                     images_per_tile: int = 1, interpret: bool = False):
+                     images_per_tile: int = 1, interpret: bool = False,
+                     logical_w: int = None):
     """Fused stride-1 bottleneck: relu(conv3(relu(conv2(relu(conv1(x)))))
     + residual).
 
@@ -152,19 +188,34 @@ def fused_bottleneck(x, w1, b1, w2, b2, w3, b3, wd=None, bd=None,
       wd/bd: optional (Cin, Cout)/(Cout,) downsample projection (folded).
       images_per_tile: images per grid step (raise for small planes,
         e.g. 28x28, to get taller matmuls; must divide B).
+      logical_w: carry mode for stages whose natural width is not a
+        multiple of 8 (layer2's 28): x is (B, H, W, Cin) with real data in
+        columns [0, logical_w) and ZEROS in [logical_w, W) — pad once at
+        the stage entry, chain carry-mode blocks, slice once at the exit.
+        Output keeps the same layout (pad columns zeroed).
 
-    Returns (B, H, W, Cout) bf16.
+    Returns (B, H, W, Cout) bf16 (same carried width in carry mode).
     """
-    b, h, w, cin = x.shape
+    b, h, w_in, cin = x.shape
     cmid = w1.shape[-1]
     cout = w3.shape[-1]
     has_ds = wd is not None
     npi = images_per_tile
+    carry = logical_w is not None and logical_w != w_in
     if b % npi:
         raise ValueError(f"batch {b} not divisible by images_per_tile {npi}")
-    if w % 8:
-        raise ValueError(f"W={w} must be a multiple of 8")
-    wp = -(-(w + 2) // 8) * 8  # padded width: halo + round up to sublanes
+    if w_in % 8:
+        raise ValueError(f"W={w_in} must be a multiple of 8")
+    if carry:
+        w = logical_w
+        wp = w_in
+        if wp < w + 2:
+            raise ValueError(
+                f"carried width {wp} must cover logical {w} + 2 halo"
+            )
+    else:
+        w = w_in
+        wp = -(-(w + 2) // 8) * 8  # padded width: halo + round to sublanes
 
     w2p = jnp.asarray(w2, jnp.bfloat16).reshape(9, cmid, cmid)
     if not has_ds:
@@ -173,18 +224,18 @@ def fused_bottleneck(x, w1, b1, w2, b2, w3, b3, wd=None, bd=None,
 
     kernel = functools.partial(
         _bottleneck_kernel, npi=npi, h=h, w=w, wp=wp, cmid=cmid, cout=cout,
-        has_downsample=has_ds, interpret=interpret,
+        has_downsample=has_ds, interpret=interpret, carry=carry,
     )
 
     flops = 2 * b * h * w * (cin * cmid + 9 * cmid * cmid + cmid * cout
                              + (cin * cout if has_ds else 0))
-    bytes_accessed = 2 * (b * h * w * (cin + cout))
+    bytes_accessed = 2 * (b * h * w_in * (cin + cout))
 
     return pl.pallas_call(
         kernel,
         grid=(b // npi,),
         in_specs=[
-            pl.BlockSpec((npi, h, w, cin), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec((npi, h, w_in, cin), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),  # w1
             pl.BlockSpec(memory_space=pltpu.VMEM),  # b1
@@ -195,9 +246,9 @@ def fused_bottleneck(x, w1, b1, w2, b2, w3, b3, wd=None, bd=None,
             pl.BlockSpec(memory_space=pltpu.VMEM),  # wd
             pl.BlockSpec(memory_space=pltpu.VMEM),  # bd
         ],
-        out_specs=pl.BlockSpec((npi, h, w, cout), lambda i: (i, 0, 0, 0),
+        out_specs=pl.BlockSpec((npi, h, w_in, cout), lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, h, w, cout), jnp.bfloat16),
+        out_shape=jax.ShapeDtypeStruct((b, h, w_in, cout), jnp.bfloat16),
         scratch_shapes=[
             pltpu.VMEM((npi, h + 2, wp, cmid), jnp.bfloat16),
         ],

@@ -78,8 +78,7 @@ def test_fast_apply_isn(model_and_vars):
                                    rtol=0.1, atol=0.15)
 
 
-def test_fast_apply_with_pallas_interpret(model_and_vars, monkeypatch):
-    # route the pallas blocks through the interpreter on CPU
+def _interpret_pallas(monkeypatch):
     import importlib
 
     fbmod = importlib.import_module(
@@ -90,6 +89,11 @@ def test_fast_apply_with_pallas_interpret(model_and_vars, monkeypatch):
         "geoestimation_tpu.models.fast_infer.fused_bottleneck",
         lambda *a, **k: orig(*a, **{**k, "interpret": True}),
     )
+
+
+def test_fast_apply_with_pallas_interpret(model_and_vars, monkeypatch):
+    # route the pallas blocks through the interpreter on CPU
+    _interpret_pallas(monkeypatch)
     model, variables = model_and_vars
     rng = np.random.default_rng(1)
     u8 = jnp.asarray(rng.integers(0, 255, (2, 64, 64, 3), dtype=np.uint8))
@@ -104,3 +108,24 @@ def test_fast_apply_with_pallas_interpret(model_and_vars, monkeypatch):
         )
         np.testing.assert_allclose(np.asarray(g), np.asarray(r),
                                    rtol=0.15, atol=0.2)
+
+
+def test_fast_apply_pallas_carry_width(model_and_vars, monkeypatch):
+    # 112px input -> layer1 plane is 28 wide (28 % 8 != 0): the stage must
+    # run through the padded-width carry path (pad once, fused blocks at
+    # logical_w=28, slice once) and still match the linen model.
+    _interpret_pallas(monkeypatch)
+    model, variables = model_and_vars
+    rng = np.random.default_rng(2)
+    u8 = jnp.asarray(rng.integers(0, 255, (2, 112, 112, 3), dtype=np.uint8))
+    x = normalize(u8, jnp.float32)
+    ref = model.apply(variables, x, train=False)
+    fast = build_fast_apply(variables, "resnet50", n_classes=N_CLASSES,
+                            use_pallas=True)
+    got = fast(x)
+    for g, r in zip(got, ref):
+        np.testing.assert_array_equal(
+            np.asarray(g).argmax(-1), np.asarray(r).argmax(-1)
+        )
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   rtol=0.15, atol=0.25)

@@ -79,6 +79,72 @@ def test_halo_does_not_bleed_across_images():
     )
 
 
+@pytest.mark.parametrize(
+    "w,wbuf,downsample,npi",
+    [
+        (28, 32, False, 1),   # layer2 geometry: 28 carried at 32
+        (28, 32, True, 2),    # with projection, 2 images/tile
+        (12, 16, False, 1),   # smaller odd-width plane
+    ],
+)
+def test_carry_mode_matches_xla(w, wbuf, downsample, npi):
+    """Carry mode (logical_w < W): data in cols [0, w), zeros beyond —
+    the layer2 28-at-32 formulation (PERF_NOTES round-2 #3). Output must
+    match XLA on the data columns AND keep the pad columns exactly zero
+    (next block's invariant)."""
+    cin, cmid = 64, 32
+    cout = cin
+    ws = make_weights(cin, cmid, cout, downsample)
+    b, h = 2 * npi, 14
+    x = RNG.normal(0, 1, (b, h, w, cin)).astype(np.float32)
+    xpad = np.zeros((b, h, wbuf, cin), np.float32)
+    xpad[:, :, :w] = x
+
+    ref = xla_bottleneck_reference(jnp.asarray(x), *ws)
+    got = fused_bottleneck(jnp.asarray(xpad), *ws, images_per_tile=npi,
+                           interpret=True, logical_w=w)
+    assert got.shape == (b, h, wbuf, cout)
+    got_np = np.asarray(got, np.float32)
+    np.testing.assert_allclose(
+        got_np[:, :, :w], np.asarray(ref, np.float32),
+        rtol=0.05, atol=0.05,
+    )
+    frac_same = np.mean(got_np[:, :, :w] == np.asarray(ref, np.float32))
+    assert frac_same > 0.9
+    np.testing.assert_array_equal(got_np[:, :, w:], 0.0)
+
+
+def test_carry_mode_chains():
+    """Two carry-mode blocks back to back (the whole point: pad once,
+    slice once) equals two XLA blocks."""
+    cin, cmid = 64, 32
+    ws_a = make_weights(cin, cmid, cin, False)
+    ws_b = make_weights(cin, cmid, cin, False)
+    w, wbuf = 28, 32
+    x = RNG.normal(0, 1, (1, 10, w, cin)).astype(np.float32)
+    xpad = np.zeros((1, 10, wbuf, cin), np.float32)
+    xpad[:, :, :w] = x
+
+    ref = xla_bottleneck_reference(
+        xla_bottleneck_reference(jnp.asarray(x), *ws_a), *ws_b
+    )
+    mid = fused_bottleneck(jnp.asarray(xpad), *ws_a, interpret=True,
+                           logical_w=w)
+    got = fused_bottleneck(mid, *ws_b, interpret=True, logical_w=w)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32)[:, :, :w],
+        np.asarray(ref, np.float32), rtol=0.08, atol=0.08,
+    )
+
+
+def test_carry_mode_needs_halo_room():
+    cin, cmid = 64, 32
+    ws = make_weights(cin, cmid, cin, False)
+    x = jnp.zeros((1, 8, 16, cin))
+    with pytest.raises(ValueError, match="halo"):
+        fused_bottleneck(x, *ws, interpret=True, logical_w=15)
+
+
 def test_fold_bn_matches_batchnorm():
     cin, cout = 8, 16
     kernel = RNG.normal(0, 0.2, (1, 1, cin, cout)).astype(np.float32)
