@@ -54,7 +54,15 @@ def _fold_block(params, stats, eps=1e-5):
 
 
 def _xla_block(x, fb, stride):
-    """Folded bottleneck on XLA (any stride)."""
+    """Folded bottleneck on XLA (any stride).
+
+    Everything stays bf16 end to end (the MXU still accumulates bf16 convs
+    in fp32 internally). Hardware A/B (tools/bench_kernels.py e2e): an
+    earlier fp32-output variant (preferred_element_type=f32 + fp32 bias/
+    relu) materialized fp32 activations in the HBM-bound stages and ran the
+    full model at 106 ms/step vs flax's 61 — layout/width of what hits HBM
+    dominates everything else here.
+    """
     w1, b1 = fb["conv1"]
     w2, b2 = fb["conv2"]
     w3, b3 = fb["conv3"]
@@ -64,19 +72,17 @@ def _xla_block(x, fb, stride):
             v.astype(jnp.bfloat16), jnp.asarray(k, jnp.bfloat16),
             window_strides=(s, s), padding=pad,
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32,
-        ) + bias
+        ) + bias.astype(jnp.bfloat16)
 
-    y = jnp.maximum(conv(x, w1, b1), 0).astype(jnp.bfloat16)
-    y = jnp.maximum(conv(y, w2, b2, s=stride, pad=((1, 1), (1, 1))),
-                    0).astype(jnp.bfloat16)
+    y = jnp.maximum(conv(x, w1, b1), 0)
+    y = jnp.maximum(conv(y, w2, b2, s=stride, pad=((1, 1), (1, 1))), 0)
     y = conv(y, w3, b3)
     if "downsample" in fb:
         wd, bd = fb["downsample"]
         res = conv(x, wd, bd, s=stride)
     else:
-        res = x.astype(jnp.float32)
-    return jnp.maximum(y + res, 0).astype(jnp.bfloat16)
+        res = x.astype(jnp.bfloat16)
+    return jnp.maximum(y + res, 0)
 
 
 def _pallas_block(x, fb, images_per_tile, stride=1, logical_w=None):
@@ -113,13 +119,19 @@ PALLAS_STAGES = {0: 1, 1: 2}
 
 
 def build_fast_apply(variables, arch="resnet50", n_classes=None,
-                     use_pallas=True, use_pallas_s2=False, eps=1e-5):
+                     use_pallas=True, use_pallas_s2=False, eps=1e-5,
+                     pallas_stages=None):
     """Returns `apply(images_u8_or_f32) -> [per-head fp32 logits]`.
 
     `images` must already be normalized (use ingest.pipeline); shape
     (B, H, W, 3). If `n_classes` is given, the fused head output is split
     per partitioning like the linen model.
+
+    `pallas_stages`: {stage_index: images_per_tile} overriding
+    PALLAS_STAGES — which stages' stride-1 blocks run the fused kernel
+    (hardware A/B knob; see tools/bench_kernels.py).
     """
+    stage_npi = PALLAS_STAGES if pallas_stages is None else pallas_stages
     params = jax.device_get(variables["params"])
     stats = jax.device_get(variables["batch_stats"])
     bb_p, bb_s = params["backbone"], stats["backbone"]
@@ -142,11 +154,11 @@ def build_fast_apply(variables, arch="resnet50", n_classes=None,
             fb = _fold_block(bb_p[name], bb_s[name], eps)
             stride = 2 if stage > 0 and bidx == 0 else 1
             pallas_ok = use_pallas and (
-                (stride == 1 and stage in PALLAS_STAGES)
+                (stride == 1 and stage in stage_npi)
                 or (stride == 2 and use_pallas_s2)
             )
             blocks.append((fb, stride, pallas_ok,
-                           PALLAS_STAGES.get(stage, 1) if stride == 1
+                           stage_npi.get(stage, 1) if stride == 1
                            else 1))
         stages.append(blocks)
 
@@ -175,19 +187,20 @@ def build_fast_apply(variables, arch="resnet50", n_classes=None,
         for blocks in stages
     ]
 
-    def apply(images):
+    def stem_fn(images):
         x = images.astype(jnp.bfloat16)
         x = jax.lax.conv_general_dilated(
             x, stem_k, window_strides=(2, 2), padding=((3, 3), (3, 3)),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32,
-        ) + stem_b
+        ) + stem_b.astype(jnp.bfloat16)
         x = jnp.maximum(x, 0).astype(jnp.bfloat16)
-        x = jax.lax.reduce_window(
+        return jax.lax.reduce_window(
             x, -jnp.inf, jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1),
             ((0, 0), (1, 1), (1, 1), (0, 0)),
         ).astype(jnp.bfloat16)
-        for blocks in stages:
+
+    def make_stage_fn(blocks):
+        def stage_fn(x):
             # stride-2 stage entry runs unpadded (Pallas s2 when enabled)
             fb, stride, pallas_ok, npi = blocks[0]
             if stride == 2 and pallas_ok and x.shape[0] % npi == 0 \
@@ -200,7 +213,7 @@ def build_fast_apply(variables, arch="resnet50", n_classes=None,
             else:
                 rest = blocks
             if not rest:
-                continue
+                return x
             # stride-1 body: when the plane width isn't a multiple of 8
             # (layer2's 28), carry the stage at padded width — pad once,
             # run every fused block at logical_w, slice once
@@ -220,6 +233,15 @@ def build_fast_apply(variables, arch="resnet50", n_classes=None,
             else:
                 for fb, stride, _, npi in rest:
                     x = _xla_block(x, fb, stride)
+            return x
+        return stage_fn
+
+    stage_fns = [stem_fn] + [make_stage_fn(blocks) for blocks in stages]
+
+    def apply(images):
+        x = images
+        for fn in stage_fns:
+            x = fn(x)
         feats = jnp.mean(x, axis=(1, 2), dtype=jnp.float32)
         logits = jax.lax.dot_general(
             feats.astype(jnp.bfloat16), head_kernel,
@@ -245,4 +267,5 @@ def build_fast_apply(variables, arch="resnet50", n_classes=None,
             start += n
         return out
 
+    apply.stage_fns = stage_fns  # cut points for tools/bench_stages.py
     return apply
