@@ -23,12 +23,22 @@ from .decode import IMAGENET_MEAN, IMAGENET_STD
 
 
 def normalize(images, dtype=jnp.bfloat16):
-    """uint8 (..., H, W, 3) -> ImageNet-normalized `dtype` tensor."""
-    mean = jnp.asarray(IMAGENET_MEAN, jnp.float32) * 255.0
-    std = jnp.asarray(IMAGENET_STD, jnp.float32) * 255.0
-    x = images.astype(jnp.float32)
-    x = (x - mean) / std
-    return x.astype(dtype)
+    """uint8 (..., H, W, 3) -> ImageNet-normalized `dtype` tensor.
+
+    The affine runs on a (..., W*3)-flattened view with the per-channel
+    mean/std tiled across lanes: with C=3 as the minor (lane) dim the VPU
+    uses 3 of 128 lanes per op, and this elementwise pass measured ~2.3 ms
+    of pure lane waste at batch 640 on v5e (tools notes in
+    docs/PERF_NOTES.md round 2). Identical values — the affine is
+    elementwise, so layout is free to choose.
+    """
+    mean = jnp.tile(jnp.asarray(IMAGENET_MEAN, jnp.float32) * 255.0,
+                    images.shape[-2])
+    std = jnp.tile(jnp.asarray(IMAGENET_STD, jnp.float32) * 255.0,
+                   images.shape[-2])
+    flat = images.reshape(images.shape[:-2] + (-1,)).astype(jnp.float32)
+    x = (flat - mean) / std
+    return x.astype(dtype).reshape(images.shape)
 
 
 def center_crop(images, crop=224):
@@ -75,10 +85,15 @@ def eval_pipeline(images_u8, n_crops=10, crop=224, dtype=jnp.bfloat16):
     The crop axis folds into batch so the backbone sees one large batch —
     the ten-crop TTA axis shards across the data mesh like any other batch
     element (SURVEY.md §5 long-context note).
+
+    Normalization runs FIRST, on the (smaller) base image, then crops/flips
+    copy bf16 — normalize/crop/flip are an elementwise op and slices, so
+    they commute exactly, and this order measured 7.4 -> 5.0 ms at batch
+    640 on v5e (uint8 C-minor copies vectorize worse than bf16 ones).
     """
-    crops = make_crops(images_u8, n_crops, crop)
-    crops = crops.reshape((-1,) + crops.shape[-3:])
-    return normalize(crops, dtype)
+    x = normalize(images_u8, dtype)
+    crops = make_crops(x, n_crops, crop)
+    return crops.reshape((-1,) + crops.shape[-3:])
 
 
 def random_crop_flip(rng, images_u8, crop=224, flip=True):

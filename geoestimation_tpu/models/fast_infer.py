@@ -53,7 +53,7 @@ def _fold_block(params, stats, eps=1e-5):
     return out
 
 
-def _xla_block(x, fb, stride):
+def _xla_block(x, fb, stride, mirror=False):
     """Folded bottleneck on XLA (any stride).
 
     Everything stays bf16 end to end (the MXU still accumulates bf16 convs
@@ -62,6 +62,13 @@ def _xla_block(x, fb, stride):
     relu) materialized fp32 activations in the HBM-bound stages and ran the
     full model at 106 ms/step vs flax's 61 — layout/width of what hits HBM
     dominates everything else here.
+
+    mirror=True applies the W-mirrored layer (kernels pre-flipped at fold
+    time): for a conv with taps k, stride s, left-pad pl on width W -> W',
+    the mirrored left pad is plM = s*W' - W + k - s - pl (see
+    build_fast_apply mirror docs). Stride-1 3x3 stays (1,1); stride-2 3x3
+    becomes (0,1); the stride-2 1x1 downsample becomes (-1,0) (XLA supports
+    negative conv padding). H padding never changes — flips are horizontal.
     """
     w1, b1 = fb["conv1"]
     w2, b2 = fb["conv2"]
@@ -74,12 +81,14 @@ def _xla_block(x, fb, stride):
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         ) + bias.astype(jnp.bfloat16)
 
+    pad2 = ((1, 1), (0, 1) if (mirror and stride == 2) else (1, 1))
+    padd = ((0, 0), (-1, 0)) if (mirror and stride == 2) else "VALID"
     y = jnp.maximum(conv(x, w1, b1), 0)
-    y = jnp.maximum(conv(y, w2, b2, s=stride, pad=((1, 1), (1, 1))), 0)
+    y = jnp.maximum(conv(y, w2, b2, s=stride, pad=pad2), 0)
     y = conv(y, w3, b3)
     if "downsample" in fb:
         wd, bd = fb["downsample"]
-        res = conv(x, wd, bd, s=stride)
+        res = conv(x, wd, bd, s=stride, pad=padd)
     else:
         res = x.astype(jnp.bfloat16)
     return jnp.maximum(y + res, 0)
@@ -120,7 +129,7 @@ PALLAS_STAGES = {0: 1, 1: 2}
 
 def build_fast_apply(variables, arch="resnet50", n_classes=None,
                      use_pallas=True, use_pallas_s2=False, eps=1e-5,
-                     pallas_stages=None):
+                     pallas_stages=None, mirror=False):
     """Returns `apply(images_u8_or_f32) -> [per-head fp32 logits]`.
 
     `images` must already be normalized (use ingest.pipeline); shape
@@ -130,6 +139,15 @@ def build_fast_apply(variables, arch="resnet50", n_classes=None,
     `pallas_stages`: {stage_index: images_per_tile} overriding
     PALLAS_STAGES — which stages' stride-1 blocks run the fused kernel
     (hardware A/B knob; see tools/bench_kernels.py).
+
+    `mirror=True` builds the W-MIRRORED network: netM(x) == flip_W(
+    net(flip_W(x))) layer by layer, exactly — conv kernels flipped along
+    their width-tap axis and strided layers' width padding shifted to
+    plM = s*W' - W + k - s - pl (elementwise ops commute with flips;
+    derivation in the module docs). Because the backbone ends in a global
+    average pool, features(netM(crop)) == features(net(flip(crop))) —
+    which turns ten-crop TTA into five-crop x {net, netM} with ZERO input
+    flipping and half the ingest traffic (see build_mirror_tta_apply).
     """
     stage_npi = PALLAS_STAGES if pallas_stages is None else pallas_stages
     params = jax.device_get(variables["params"])
@@ -146,16 +164,23 @@ def build_fast_apply(variables, arch="resnet50", n_classes=None,
         np.asarray(bb_s["bn1"]["var"], np.float32),
         eps,
     )
+    if mirror:
+        # flip the width-tap axis of every spatial kernel (HWIO axis 1);
+        # 1x1 convs are tap-free on W and stay as folded
+        stem_k = stem_k[:, ::-1]
     stages = []
     for stage, n_blocks in enumerate(stage_sizes):
         blocks = []
         for bidx in range(n_blocks):
             name = f"layer{stage + 1}_block{bidx}"
             fb = _fold_block(bb_p[name], bb_s[name], eps)
+            if mirror:
+                k2, b2 = fb["conv2"]
+                fb["conv2"] = (k2[:, ::-1], b2)
             stride = 2 if stage > 0 and bidx == 0 else 1
             pallas_ok = use_pallas and (
                 (stride == 1 and stage in stage_npi)
-                or (stride == 2 and use_pallas_s2)
+                or (stride == 2 and use_pallas_s2 and not mirror)
             )
             blocks.append((fb, stride, pallas_ok,
                            stage_npi.get(stage, 1) if stride == 1
@@ -187,16 +212,23 @@ def build_fast_apply(variables, arch="resnet50", n_classes=None,
         for blocks in stages
     ]
 
+    # Mirrored width paddings: plM = s*W' - W + k - s - pl, pr covering the
+    # last read (H padding untouched). Stem 7x7 s2 on 224: (3,3) -> (2,3);
+    # maxpool 3x3 s2 on 112: (1,1) -> (0,1).
+    stem_pad_w = (2, 3) if mirror else (3, 3)
+    pool_pad_w = (0, 1) if mirror else (1, 1)
+
     def stem_fn(images):
         x = images.astype(jnp.bfloat16)
         x = jax.lax.conv_general_dilated(
-            x, stem_k, window_strides=(2, 2), padding=((3, 3), (3, 3)),
+            x, stem_k, window_strides=(2, 2),
+            padding=((3, 3), stem_pad_w),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         ) + stem_b.astype(jnp.bfloat16)
         x = jnp.maximum(x, 0).astype(jnp.bfloat16)
         return jax.lax.reduce_window(
             x, -jnp.inf, jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1),
-            ((0, 0), (1, 1), (1, 1), (0, 0)),
+            ((0, 0), (1, 1), pool_pad_w, (0, 0)),
         ).astype(jnp.bfloat16)
 
     def make_stage_fn(blocks):
@@ -208,7 +240,7 @@ def build_fast_apply(variables, arch="resnet50", n_classes=None,
                 x = _pallas_block(x, fb, npi, stride=2)
                 rest = blocks[1:]
             elif stride == 2:
-                x = _xla_block(x, fb, 2)
+                x = _xla_block(x, fb, 2, mirror=mirror)
                 rest = blocks[1:]
             else:
                 rest = blocks
@@ -268,4 +300,56 @@ def build_fast_apply(variables, arch="resnet50", n_classes=None,
         return out
 
     apply.stage_fns = stage_fns  # cut points for tools/bench_stages.py
+    return apply
+
+
+def build_mirror_tta_apply(variables, arch="resnet50", n_classes=None,
+                           use_pallas=True, pallas_stages=None, crop=224,
+                           n_crops=10, dtype=jnp.bfloat16):
+    """Flip-free ten-crop TTA: `apply(base_u8) -> [per-head logits]` with
+    logits shaped (B*n_crops, C) in the (B, crops) order `mean_tta_logits`
+    expects.
+
+    Ten-crop = five crops + their horizontal flips. Because the backbone
+    ends in a global average pool, net(flip(c)) has the same pooled
+    features as netM(c) where netM is the width-mirrored network (see
+    build_fast_apply mirror docs) — so instead of materializing 10 crops
+    (2x the ingest HBM traffic, and uint8/bf16 C=3-minor copies measured
+    as the single most roofline-distant stage), this runs the 5 unflipped
+    crops through net and netM. Same math, half the ingest.
+
+    n_crops=5/1 skip the mirrored pass (plain five/center crop).
+    """
+    from ..ingest.pipeline import make_crops, normalize
+
+    heads = build_fast_apply(variables, arch, n_classes=n_classes,
+                             use_pallas=use_pallas,
+                             pallas_stages=pallas_stages)
+    mirrored = None
+    if n_crops == 10:
+        mirrored = build_fast_apply(
+            variables, arch, n_classes=n_classes, use_pallas=use_pallas,
+            pallas_stages=pallas_stages, mirror=True)
+
+    def apply(images_u8):
+        b = images_u8.shape[0]
+        x = normalize(images_u8, dtype)
+        crops = make_crops(x, 5 if n_crops == 10 else n_crops, crop)
+        crops = crops.reshape((-1,) + crops.shape[-3:])
+        la = heads(crops)
+        single = not isinstance(la, (list, tuple))
+        if n_crops != 10:
+            return la
+        lm = mirrored(crops)
+        if single:
+            la, lm = [la], [lm]
+        out = [
+            jnp.concatenate(
+                [a.reshape(b, 5, a.shape[-1]),
+                 m.reshape(b, 5, m.shape[-1])], axis=1,
+            ).reshape(b * 10, a.shape[-1])
+            for a, m in zip(la, lm)
+        ]
+        return out[0] if single else out
+
     return apply

@@ -129,3 +129,67 @@ def test_fast_apply_pallas_carry_width(model_and_vars, monkeypatch):
         )
         np.testing.assert_allclose(np.asarray(g), np.asarray(r),
                                    rtol=0.15, atol=0.25)
+
+
+def test_mirror_apply_equals_flipped_input(model_and_vars):
+    # netM(x) must equal net(flip_W(x)) AFTER the global pool erases the
+    # output flip — i.e. identical per-head logits. Exercises the mirrored
+    # paddings of the stem, maxpool, stride-2 conv2 and the negative-pad
+    # 1x1 downsample.
+    model, variables = model_and_vars
+    rng = np.random.default_rng(7)
+    u8 = jnp.asarray(rng.integers(0, 255, (2, 64, 64, 3), dtype=np.uint8))
+    x = normalize(u8, jnp.float32)
+    fast = build_fast_apply(variables, "resnet50", n_classes=N_CLASSES,
+                            use_pallas=False)
+    mirrored = build_fast_apply(variables, "resnet50", n_classes=N_CLASSES,
+                                use_pallas=False, mirror=True)
+    ref = fast(jnp.flip(x, axis=2))
+    got = mirrored(x)
+    for g, r in zip(got, ref):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   rtol=0.05, atol=0.05)
+
+
+def test_mirror_apply_equals_flipped_input_pallas(model_and_vars,
+                                                  monkeypatch):
+    # same equivalence through the fused Pallas stride-1 blocks (flipped
+    # conv2 taps reach the kernel via the folded weights)
+    _interpret_pallas(monkeypatch)
+    model, variables = model_and_vars
+    rng = np.random.default_rng(8)
+    u8 = jnp.asarray(rng.integers(0, 255, (2, 64, 64, 3), dtype=np.uint8))
+    x = normalize(u8, jnp.float32)
+    fast = build_fast_apply(variables, "resnet50", n_classes=N_CLASSES,
+                            use_pallas=True)
+    mirrored = build_fast_apply(variables, "resnet50", n_classes=N_CLASSES,
+                                use_pallas=True, mirror=True)
+    ref = fast(jnp.flip(x, axis=2))
+    got = mirrored(x)
+    for g, r in zip(got, ref):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   rtol=0.06, atol=0.06)
+
+
+def test_mirror_tta_equals_ten_crop(model_and_vars):
+    # five-crop x {net, netM} == classic ten-crop through the same folded
+    # net, crop for crop (order: five crops then their flips).
+    from geoestimation_tpu.ingest.pipeline import eval_pipeline
+    from geoestimation_tpu.models.fast_infer import build_mirror_tta_apply
+
+    model, variables = model_and_vars
+    rng = np.random.default_rng(9)
+    base = jnp.asarray(
+        rng.integers(0, 255, (2, 96, 96, 3), dtype=np.uint8))
+    fast = build_fast_apply(variables, "resnet50", n_classes=N_CLASSES,
+                            use_pallas=False)
+    ref = fast(eval_pipeline(base, n_crops=10, crop=64, dtype=jnp.float32))
+    tta = build_mirror_tta_apply(variables, "resnet50",
+                                 n_classes=N_CLASSES, use_pallas=False,
+                                 crop=64, n_crops=10, dtype=jnp.float32)
+    got = tta(base)
+    for g, r in zip(got, ref):
+        g, r = np.asarray(g), np.asarray(r)
+        # eval_pipeline folds (B, 10, ...) batch-major; ten_crop orders
+        # crops [five, flipped five] — same convention as the mirror path
+        np.testing.assert_allclose(g, r, rtol=0.05, atol=0.05)

@@ -208,6 +208,23 @@ def bench_e2e(batch=64, iters=20):
                               pallas_stages=stages)
         variants.append((name, (), wrap(lambda wts, x, fa=fa: fa(x))))
 
+    # mirror TTA: five-crop x {net, mirrored net} — takes the uint8 base
+    # batch directly, so it wraps its own ingest
+    from geoestimation_tpu.models.fast_infer import build_mirror_tta_apply
+
+    for name, stages in [("mirror-noPallas", {}), ("mirror-L2", {1: 2})]:
+        mt = build_mirror_tta_apply(
+            variables, "resnet50", n_classes=REAL_CLASS_COUNTS,
+            use_pallas=bool(stages), pallas_stages=stages)
+
+        @jax.jit
+        def mfwd(wts, images_u8, mt=mt):
+            logits = mt(images_u8)
+            logits = [mean_tta_logits(l, n_crops) for l in logits]
+            return predict_hierarchical(logits, harrays)
+
+        variants.append((name, (), mfwd))
+
     for name, wts, fwd in variants:
         ms = _time(fwd, wts, images, iters=iters)
         ips = batch / (ms / 1e3)
