@@ -133,12 +133,66 @@ def _measure(batch: int, iters: int) -> float:
     )
     harrays = _synthetic_harrays(REAL_CLASS_COUNTS)
 
-    # BENCH_FAST=1 routes through the folded-BN + Pallas-fused-block path
-    # (models/fast_infer.py). Default 0: the Pallas bottleneck kernel is
-    # numerically verified but its production variant still loses to XLA on
-    # v5e (border-mask elementwise ops trigger Mosaic relayouts; see
-    # ops/fused_bottleneck.py docstring) — the XLA path is the known-good
-    # configuration. Flip when the PERF_NOTES round-2 checklist wins A/B.
+    # BENCH_PRECISION selects the serving path (default int8 — the
+    # production serving precision, models/quant.py):
+    #   int8: folded-BN + normalize-in-stem PTQ, s8 x s8 -> s32 convs.
+    #         Measured 43.4 ms/step = 1474 img/s/chip on v5e (1.35x bf16)
+    #         with 100% hierarchy-argmax agreement vs bf16 on the bench
+    #         inputs (docs/PERF_NOTES.md round 2; accuracy evidence in
+    #         tests/test_quant.py, tests/test_e2e_inference.py).
+    #   bf16: the exact-precision path (reference --precision 16 analog).
+    # Activation scales for the (deterministic, seed-0) bench model ship
+    # in tools/bench_int8_scales.json so the bench never pays the fp32
+    # calibration compile; if absent/mismatched it recalibrates.
+    precision = os.environ.get("BENCH_PRECISION", "int8")
+    if precision == "int8":
+        from geoestimation_tpu.ingest.pipeline import eval_pipeline_s8
+        from geoestimation_tpu.models.quant import (
+            build_int8_apply,
+            calibrate,
+            quantize_model,
+        )
+
+        scales_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "tools", "bench_int8_scales.json")
+        scales = None
+        if os.path.exists(scales_path):
+            with open(scales_path) as f:
+                scales = json.load(f)
+        if not scales:
+            calib = np.random.default_rng(123).integers(
+                0, 255, (8, 256, 256, 3), dtype=np.uint8)
+            scales = calibrate(variables, [calib], arch="resnet50",
+                               n_crops=n_crops, crop=224)
+        qnet = quantize_model(variables, arch="resnet50")
+        int8_apply = build_int8_apply(qnet, scales,
+                                      n_classes=REAL_CLASS_COUNTS)
+
+        # NOTE: weights ride as jit closure constants (no variables arg) so
+        # the compiled graph matches the A/B harness's cache entries.
+        @jax.jit
+        def forward_i8(images_u8):
+            x = eval_pipeline_s8(images_u8, n_crops=n_crops, crop=224)
+            logits = int8_apply(x)
+            logits = [mean_tta_logits(l, n_crops) for l in logits]
+            return predict_hierarchical(logits, harrays)
+
+        rng = np.random.default_rng(0)
+        images = jnp.asarray(
+            rng.integers(0, 255, (batch, 256, 256, 3), dtype=np.uint8)
+        )
+        out = forward_i8(images)
+        jax.device_get(jax.tree.leaves(out)[0][:1])
+        out = forward_i8(images)
+        jax.device_get(jax.tree.leaves(out)[0][:1])
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = forward_i8(images)
+        jax.device_get(jax.tree.leaves(out)[0][:1])
+        dt = time.perf_counter() - t0
+        return batch * iters / dt / jax.device_count()
+
     fast = os.environ.get("BENCH_FAST", "0") == "1"
     if fast:
         from geoestimation_tpu.models.fast_infer import build_fast_apply
@@ -246,6 +300,7 @@ def main():
         "unit": "images/sec/chip",
         "vs_baseline": round(per_chip / TARGET_PER_CHIP, 4),
         "platform": platform,
+        "precision": os.environ.get("BENCH_PRECISION", "int8"),
     }
     if errors:
         result["error"] = " | ".join(errors)

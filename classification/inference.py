@@ -32,8 +32,11 @@ def build_parser():
                    help="host decode threads")
     p.add_argument("--crops", type=int, default=10, choices=[1, 5, 10],
                    help="TTA crops per image")
-    p.add_argument("--precision", type=int, default=16, choices=[16, 32],
-                   help="16=bfloat16 backbone, 32=float32")
+    p.add_argument("--precision", type=int, default=16,
+                   choices=[8, 16, 32],
+                   help="16=bfloat16 backbone, 32=float32, 8=TPU int8 "
+                        "PTQ serving precision (models/quant.py; "
+                        "calibrated on the first batch)")
     p.add_argument("--gpu", action="store_true",
                    help="accepted for reference CLI compatibility; ignored "
                         "(accelerator is chosen by JAX/XLA)")
@@ -71,13 +74,14 @@ def main(argv=None):
         config,
         state,
         n_crops=args.crops,
-        dtype=jnp.bfloat16 if args.precision == 16 else jnp.float32,
+        dtype=jnp.float32 if args.precision == 32 else jnp.bfloat16,
         search_dirs=[os.path.dirname(os.path.abspath(args.checkpoint)),
                      args.checkpoint, os.getcwd()],
         fast=args.fast,
         use_pallas=args.pallas,
         tta_mode="host_exact" if args.exact_tta else "device",
         tta_fold=args.tta_fold,
+        int8=(args.precision == 8),
     )
     df = engine.predict_dir(args.image_dir, batch_size=args.batch_size,
                             num_workers=args.num_workers)

@@ -25,7 +25,12 @@ def build_parser():
     p.add_argument("--meta_files", nargs="+", required=True)
     p.add_argument("--batch_size", type=int, default=64)
     p.add_argument("--num_workers", type=int, default=None)
-    p.add_argument("--precision", type=int, default=16, choices=[16, 32])
+    p.add_argument("--precision", type=int, default=16,
+                   choices=[8, 16, 32],
+                   help="16/32 match the reference surface "
+                        "(README.md:159-160); 8 = TPU int8 PTQ serving "
+                        "precision (models/quant.py), calibrated on the "
+                        "first eval batch")
     p.add_argument("--crops", type=int, default=10, choices=[1, 5, 10])
     p.add_argument("--json", dest="json_out", default=None,
                    help="also dump results as JSON to this path")
@@ -68,12 +73,13 @@ def main(argv=None):
         config,
         state,
         n_crops=args.crops,
-        dtype=jnp.bfloat16 if args.precision == 16 else jnp.float32,
+        dtype=jnp.float32 if args.precision == 32 else jnp.bfloat16,
         search_dirs=[os.path.dirname(os.path.abspath(args.checkpoint)),
                      args.checkpoint, os.getcwd()],
         fast=args.fast,
         tta_mode="host_exact" if args.exact_tta else "device",
         tta_fold=args.tta_fold,
+        int8=(args.precision == 8),
     )
     all_results = {}
     for image_dir, meta_file in zip(args.image_dirs, args.meta_files):

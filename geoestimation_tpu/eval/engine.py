@@ -62,6 +62,7 @@ class InferenceEngine:
         layout=None,
         tta_mode: str = "device",
         tta_fold: str = "prob_mean",
+        int8: bool = False,
     ):
         """fast=True folds BatchNorm into conv weights at load time
         (models/fast_infer.py) — identical predictions up to bf16 rounding;
@@ -74,7 +75,12 @@ class InferenceEngine:
         strict parity on non-square images; forces n_crops=10).
         tta_fold: how per-crop logits combine — 'prob_mean' (reference
         convention, default), 'log_mean', or 'logit_mean'
-        (eval.infer.mean_tta_logits)."""
+        (eval.infer.mean_tta_logits).
+        int8: TPU serving precision (models/quant.py) — post-training
+        int8 quantization, self-calibrated on the FIRST eval batch
+        (standard unlabeled-domain-data PTQ); ~1.3-1.4x measured over
+        bf16 on v5e. The reference's precision surface stops at fp16
+        (README.md:159-160); int8 is the beyond-parity option."""
         mp = config.model_params
         if partitionings is None:
             paths = resolve_partitioning_paths(
@@ -101,6 +107,14 @@ class InferenceEngine:
             "params": state["params"],
             "batch_stats": state["batch_stats"],
         }
+        self._int8 = int8
+        self.model_arch = mp.arch
+        self._int8_apply = None  # built lazily after first-batch calib
+        if int8:
+            from ..models.quant import quantize_model
+
+            self._qnet = quantize_model(self.variables, mp.arch)
+            self._n_classes = tuple(len(p) for p in partitionings)
         self._fast_apply = None
         if fast:
             from ..models.fast_infer import build_fast_apply
@@ -132,6 +146,45 @@ class InferenceEngine:
             functools.partial(self._forward_impl, n_crops=n_crops, crop=crop)
         )
 
+    def _build_int8(self, images_u8):
+        """First-batch PTQ calibration + int8 forward build."""
+        from ..models.quant import build_int8_apply, calibrate
+
+        if images_u8.ndim == 5:
+            base = np.asarray(images_u8).reshape(
+                (-1,) + images_u8.shape[-3:])
+            scales = calibrate(self.variables, [base], self.model_arch,
+                               n_crops=1, crop=self.crop)
+        else:
+            scales = calibrate(self.variables, [np.asarray(images_u8)],
+                               self.model_arch, n_crops=self.n_crops,
+                               crop=self.crop)
+        int8_apply = build_int8_apply(self._qnet, scales,
+                                      n_classes=self._n_classes)
+
+        def fwd(images_u8):
+            from ..ingest.pipeline import eval_pipeline_s8
+            from ..models.quant import shift_s8
+
+            with jax.named_scope("ingest_s8"):
+                if images_u8.ndim == 5:
+                    x = shift_s8(
+                        images_u8.reshape((-1,) + images_u8.shape[-3:]))
+                else:
+                    x = eval_pipeline_s8(images_u8, n_crops=self.n_crops,
+                                         crop=self.crop)
+            with jax.named_scope("backbone_heads_int8"):
+                logits = int8_apply(x)
+            with jax.named_scope("tta_hierarchy"):
+                logits = [
+                    mean_tta_logits(l, self.n_crops, fold=self.tta_fold)
+                    for l in logits
+                ]
+                return predict_all(logits, self.harrays)
+
+        self._int8_apply = jax.jit(fwd)
+        self.int8_scales = scales
+
     def _forward_impl(self, variables, images_u8, n_crops, crop):
         with jax.named_scope("ingest"):
             if images_u8.ndim == 5:
@@ -161,7 +214,12 @@ class InferenceEngine:
         images = jnp.asarray(images_u8)
         if self.layout is not None:
             images = jax.device_put(images, self.layout.batch())
-        preds = self._forward(self.variables, images)
+        if self._int8:
+            if self._int8_apply is None:
+                self._build_int8(images)
+            preds = self._int8_apply(images)
+        else:
+            preds = self._forward(self.variables, images)
         return jax.tree.map(np.asarray, preds)
 
     # -- folder-level drivers ------------------------------------------------

@@ -96,6 +96,16 @@ def eval_pipeline(images_u8, n_crops=10, crop=224, dtype=jnp.bfloat16):
     return crops.reshape((-1,) + crops.shape[-3:])
 
 
+def eval_pipeline_s8(images_u8, n_crops=10, crop=224):
+    """uint8 (B, base, base, 3) -> (pixel - 128) int8 crops
+    (B*n_crops, crop, crop, 3) for the int8 serving path
+    (models/quant.py). Normalization lives INSIDE the int8 stem conv, so
+    crops stay integer — half the HBM ingest traffic of the bf16 path."""
+    x = (images_u8.astype(jnp.int16) - 128).astype(jnp.int8)
+    crops = make_crops(x, n_crops, crop)
+    return crops.reshape((-1,) + crops.shape[-3:])
+
+
 def random_crop_flip(rng, images_u8, crop=224, flip=True):
     """Training augmentation: random crop + horizontal flip, on device.
 
