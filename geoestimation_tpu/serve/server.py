@@ -218,6 +218,11 @@ def main(argv=None):
     p.add_argument("--max_wait_ms", type=float, default=5.0)
     p.add_argument("--crops", type=int, default=1, choices=[1, 5, 10])
     p.add_argument("--fast", action="store_true")
+    p.add_argument("--precision", type=int, default=16,
+                   choices=[8, 16, 32],
+                   help="8 = int8 PTQ serving precision (models/quant.py;"
+                        " calibrated on the first batch; ~1.35x bf16 on "
+                        "v5e)")
     p.add_argument("--cpu", action="store_true")
     args = p.parse_args(argv)
     if args.cpu:
@@ -232,8 +237,12 @@ def main(argv=None):
 
     config, state = load_for_inference(args.checkpoint,
                                        hparams_path=args.hparams)
+    import jax.numpy as jnp
+
     engine = InferenceEngine(
         config, state, n_crops=args.crops, fast=args.fast,
+        dtype=jnp.float32 if args.precision == 32 else jnp.bfloat16,
+        int8=(args.precision == 8),
         search_dirs=[os.path.dirname(os.path.abspath(args.checkpoint)),
                      args.checkpoint, os.getcwd()],
     )
