@@ -224,6 +224,17 @@ def main(argv=None):
                         " calibrated on the first batch; ~1.35x bf16 on "
                         "v5e)")
     p.add_argument("--cpu", action="store_true")
+    p.add_argument("--warmup", action="store_true",
+                   help="run one full-size batch before accepting "
+                        "traffic so the first request never pays the "
+                        "jit compile (and, with --precision 8, the "
+                        "calibration pass)")
+    p.add_argument("--calib_dir", default=None,
+                   help="with --precision 8: directory of real images "
+                        "used for the warmup/calibration batch; int8 "
+                        "activation scales calibrated on synthetic "
+                        "noise are NOT representative — always provide "
+                        "domain images in production")
     args = p.parse_args(argv)
     if args.cpu:
         import jax
@@ -246,6 +257,41 @@ def main(argv=None):
         search_dirs=[os.path.dirname(os.path.abspath(args.checkpoint)),
                      args.checkpoint, os.getcwd()],
     )
+    if args.warmup or args.calib_dir:
+        import time as _time
+
+        import numpy as np
+
+        t0 = _time.time()
+        batch = np.zeros((args.batch_size, 256, 256, 3), np.uint8)
+        if args.calib_dir:
+            from ..data.image_folder import iter_image_folder
+
+            n = 0
+            for fb in iter_image_folder(args.calib_dir,
+                                        batch_size=args.batch_size):
+                good = fb.images[np.asarray(fb.valid)]
+                take = min(args.batch_size - n, len(good))
+                batch[n:n + take] = good[:take]
+                n += take
+                if n >= args.batch_size:
+                    break
+            if n == 0:
+                raise SystemExit(
+                    f"--calib_dir {args.calib_dir}: no images found")
+            # tile the real images over any unfilled tail
+            for i in range(n, args.batch_size):
+                batch[i] = batch[i % n]
+        elif args.precision == 8:
+            print("WARNING: int8 warmup on synthetic noise — pass "
+                  "--calib_dir with domain images for representative "
+                  "activation scales", flush=True)
+            batch = np.random.default_rng(0).integers(
+                0, 255, batch.shape, dtype=np.uint8)
+        engine.predict_batch(batch)
+        print(f"warmup done in {_time.time() - t0:.1f}s "
+              f"(calibrated={args.precision == 8})", flush=True)
+
     server = GeoInferenceServer(engine, host=args.host, port=args.port,
                                 batch_size=args.batch_size,
                                 max_wait_ms=args.max_wait_ms)

@@ -196,6 +196,55 @@ def test_int8_e2e_feature_fidelity(model_and_vars, calib_images):
         assert corr > 0.98, f"logit correlation {corr}"
 
 
+def test_int8_isn_routing(calib_images):
+    """ISN checkpoints quantize too: shared backbone int8, scene gate +
+    per-scene geo heads in bf16 — same routing semantics as the bf16
+    fast path (reference README.md:56-57, 187)."""
+    from geoestimation_tpu.models.fast_infer import build_fast_apply
+    from geoestimation_tpu.models.isn import ISNClassifier
+
+    model = ISNClassifier(n_classes=N_CLASSES, n_scenes=3,
+                          arch="resnet50")
+    variables = model.init(
+        jax.random.PRNGKey(1), jnp.zeros((1, 64, 64, 3), jnp.float32),
+        train=False)
+    scales = calibrate(variables, [calib_images], arch="resnet50",
+                       n_crops=1, crop=64)
+    qnet = quantize_model(variables, arch="resnet50")
+    int8_apply = build_int8_apply(qnet, scales, n_classes=N_CLASSES)
+    ref_apply = build_fast_apply(variables, "resnet50",
+                                 n_classes=N_CLASSES, use_pallas=False)
+    u8 = jnp.asarray(calib_images)
+    got = int8_apply(eval_pipeline_s8(u8, n_crops=1, crop=64))
+    ref = ref_apply(eval_pipeline(u8, n_crops=1, crop=64,
+                                  dtype=jnp.float32))
+    assert len(got) == 3
+    for g, r in zip(got, ref):
+        g, r = np.asarray(g, np.float64), np.asarray(r, np.float64)
+        gc, rc = g - g.mean(), r - r.mean()
+        corr = (gc * rc).sum() / (
+            np.linalg.norm(gc) * np.linalg.norm(rc) + 1e-12)
+        assert corr > 0.95, f"ISN int8 logit correlation {corr}"
+
+
+def test_int8_resnet101_builds(calib_images):
+    """The quantizer is arch-generic (STAGE_SIZES): the legacy-paper
+    ResNet101 config (reference README.md:76) gets the int8 path too."""
+    model = MultiPartitioningClassifier(
+        n_classes=(3, 4), arch="resnet101", dtype=jnp.float32)
+    variables = model.init(
+        jax.random.PRNGKey(2), jnp.zeros((1, 64, 64, 3), jnp.float32),
+        train=False)
+    scales = calibrate(variables, [calib_images[:2]], arch="resnet101",
+                       n_crops=1, crop=64)
+    qnet = quantize_model(variables, arch="resnet101")
+    apply = build_int8_apply(qnet, scales, n_classes=(3, 4))
+    out = apply(eval_pipeline_s8(jnp.asarray(calib_images[:2]),
+                                 n_crops=1, crop=64))
+    assert out[0].shape == (2, 3) and out[1].shape == (2, 4)
+    assert np.all(np.isfinite(np.asarray(out[0])))
+
+
 def test_int8_pipeline_one_call(model_and_vars, calib_images):
     _, variables = model_and_vars
     from geoestimation_tpu.models.quant import build_int8_pipeline

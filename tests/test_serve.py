@@ -116,3 +116,32 @@ class TestHTTP:
         with urllib.request.urlopen(self.url(server, "/stats")) as r:
             data = json.loads(r.read())
         assert data["requests"] >= 1
+
+
+class TestInt8Serving:
+    def test_int8_engine_through_batcher(self, geo_parts):
+        """Serving with --precision 8 semantics: int8 engine behind the
+        micro-batcher — first batch self-calibrates, subsequent requests
+        reuse the compiled int8 path."""
+        from geoestimation_tpu.eval.engine import InferenceEngine
+        from geoestimation_tpu.train.init import init_model_state
+        from geoestimation_tpu.utils.config import Config
+
+        config = Config()
+        config.model_params.partitionings.files = []
+        _, state = init_model_state(config, geo_parts, seed=0,
+                                    image_size=64)
+        engine = InferenceEngine(config, state, partitionings=geo_parts,
+                                 n_crops=1, int8=True)
+        mb = MicroBatcher(engine.predict_batch, batch_size=2,
+                          max_wait_ms=1, base_size=256)
+        try:
+            img = np.random.default_rng(0).integers(
+                0, 255, (256, 256, 3), dtype=np.uint8)
+            out = mb.submit(img, timeout=600)
+            assert set(out) == {"coarse", "middle", "fine", "hierarchy"}
+            assert engine.int8_scales  # calibration happened
+            out2 = mb.submit(img, timeout=600)
+            assert out2["hierarchy"]["class"] == out["hierarchy"]["class"]
+        finally:
+            mb.close()
