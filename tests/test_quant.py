@@ -245,6 +245,35 @@ def test_int8_resnet101_builds(calib_images):
     assert np.all(np.isfinite(np.asarray(out[0])))
 
 
+def test_int8_sharded_matches_single_device(model_and_vars,
+                                            calib_images):
+    """Int8 eval under the 8-device data mesh == single device: crops
+    fold into batch and shard over `data`; integer math makes the
+    comparison exact."""
+    from geoestimation_tpu.parallel.mesh import make_mesh
+
+    _, variables = model_and_vars
+    scales = calibrate(variables, [calib_images], arch="resnet50",
+                       n_crops=1, crop=64)
+    qnet = quantize_model(variables, arch="resnet50")
+    apply = build_int8_apply(qnet, scales, n_classes=N_CLASSES)
+    u8 = jnp.asarray(np.concatenate([calib_images, calib_images], 0))
+    crops = eval_pipeline_s8(u8, n_crops=1, crop=64)
+
+    single = jax.jit(apply)(crops)
+
+    layout = make_mesh()
+    assert layout.n_data == 8
+    crops_sharded = jax.device_put(crops, layout.batch())
+    sharded = jax.jit(apply)(crops_sharded)
+    # backbone integer math is exact; the bf16 head matmul's fp32
+    # accumulation order differs under sharding (~1e-6 on logits)
+    for s, d in zip(single, sharded):
+        s, d = np.asarray(s), np.asarray(d)
+        np.testing.assert_allclose(s, d, rtol=0, atol=1e-4)
+        assert (s.argmax(-1) == d.argmax(-1)).all()
+
+
 def test_int8_pipeline_one_call(model_and_vars, calib_images):
     _, variables = model_and_vars
     from geoestimation_tpu.models.quant import build_int8_pipeline
