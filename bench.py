@@ -144,7 +144,15 @@ def _measure(batch: int, iters: int) -> float:
     # Activation scales for the (deterministic, seed-0) bench model ship
     # in tools/bench_int8_scales.json so the bench never pays the fp32
     # calibration compile; if absent/mismatched it recalibrates.
+    import jax
+
     precision = os.environ.get("BENCH_PRECISION", "int8")
+    if jax.default_backend() == "cpu" and precision == "int8":
+        # XLA:CPU has no vectorized s8 conv path — int8 runs minutes per
+        # step there. The CPU fallback exists to prove liveness when the
+        # TPU tunnel is dead, so measure the bf16 path instead.
+        precision = "bf16"
+        os.environ["BENCH_PRECISION"] = "bf16-cpu-fallback"
     if precision == "int8":
         from geoestimation_tpu.ingest.pipeline import eval_pipeline_s8
         from geoestimation_tpu.models.quant import (
@@ -259,7 +267,10 @@ def main():
         })
         return 1
 
-    if _init_tpu(errors):
+    force_cpu = os.environ.get("BENCH_FORCE_CPU", "0") == "1"
+    if force_cpu:
+        errors.append("BENCH_FORCE_CPU=1")
+    if not force_cpu and _init_tpu(errors):
         # Persistent cache only on the TPU path: CPU-fallback runs must not
         # load cache entries AOT-compiled for a different host CPU (SIGILL
         # risk), and caching a one-off fallback has no value anyway.

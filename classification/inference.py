@@ -65,7 +65,10 @@ def main(argv=None):
         jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
-    from geoestimation_tpu.eval.engine import InferenceEngine
+    from geoestimation_tpu.eval.engine import (
+        InferenceEngine,
+        default_scales_path,
+    )
     from geoestimation_tpu.train.checkpoint import load_for_inference
 
     config, state = load_for_inference(args.checkpoint,
@@ -82,6 +85,7 @@ def main(argv=None):
         tta_mode="host_exact" if args.exact_tta else "device",
         tta_fold=args.tta_fold,
         int8=(args.precision == 8),
+        int8_scales_path=default_scales_path(args.checkpoint),
     )
     df = engine.predict_dir(args.image_dir, batch_size=args.batch_size,
                             num_workers=args.num_workers)

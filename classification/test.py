@@ -63,6 +63,7 @@ def main(argv=None):
     from geoestimation_tpu.data.image_folder import load_meta_csv
     from geoestimation_tpu.eval.engine import (
         InferenceEngine,
+        default_scales_path,
         format_accuracy_table,
     )
     from geoestimation_tpu.train.checkpoint import load_for_inference
@@ -80,6 +81,7 @@ def main(argv=None):
         tta_mode="host_exact" if args.exact_tta else "device",
         tta_fold=args.tta_fold,
         int8=(args.precision == 8),
+        int8_scales_path=default_scales_path(args.checkpoint),
     )
     all_results = {}
     for image_dir, meta_file in zip(args.image_dirs, args.meta_files):

@@ -47,6 +47,14 @@ def resolve_partitioning_paths(files: Sequence[str],
     return out
 
 
+def default_scales_path(checkpoint: str) -> str:
+    """Conventional location for cached int8 activation scales: next to
+    the checkpoint (`<ckpt_dir>/int8_scales.json`)."""
+    d = checkpoint if os.path.isdir(checkpoint) else os.path.dirname(
+        os.path.abspath(checkpoint))
+    return os.path.join(d, "int8_scales.json")
+
+
 class InferenceEngine:
     def __init__(
         self,
@@ -63,6 +71,7 @@ class InferenceEngine:
         tta_mode: str = "device",
         tta_fold: str = "prob_mean",
         int8: bool = False,
+        int8_scales_path: Optional[str] = None,
     ):
         """fast=True folds BatchNorm into conv weights at load time
         (models/fast_infer.py) — identical predictions up to bf16 rounding;
@@ -80,7 +89,11 @@ class InferenceEngine:
         int8 quantization, self-calibrated on the FIRST eval batch
         (standard unlabeled-domain-data PTQ); ~1.3-1.4x measured over
         bf16 on v5e. The reference's precision surface stops at fp16
-        (README.md:159-160); int8 is the beyond-parity option."""
+        (README.md:159-160); int8 is the beyond-parity option.
+        int8_scales_path: optional JSON file for activation scales —
+        loaded if present (skips calibration entirely), written
+        best-effort after first-batch calibration otherwise, so a
+        served checkpoint calibrates once, ever."""
         mp = config.model_params
         if partitionings is None:
             paths = resolve_partitioning_paths(
@@ -108,6 +121,7 @@ class InferenceEngine:
             "batch_stats": state["batch_stats"],
         }
         self._int8 = int8
+        self._int8_scales_path = int8_scales_path
         self.model_arch = mp.arch
         self._int8_apply = None  # built lazily after first-batch calib
         if int8:
@@ -147,18 +161,35 @@ class InferenceEngine:
         )
 
     def _build_int8(self, images_u8):
-        """First-batch PTQ calibration + int8 forward build."""
+        """First-batch PTQ calibration + int8 forward build. Scales are
+        loaded from / saved to `int8_scales_path` when given."""
+        import json
+
         from ..models.quant import build_int8_apply, calibrate
 
-        if images_u8.ndim == 5:
-            base = np.asarray(images_u8).reshape(
-                (-1,) + images_u8.shape[-3:])
-            scales = calibrate(self.variables, [base], self.model_arch,
-                               n_crops=1, crop=self.crop)
-        else:
-            scales = calibrate(self.variables, [np.asarray(images_u8)],
-                               self.model_arch, n_crops=self.n_crops,
-                               crop=self.crop)
+        scales = None
+        path = self._int8_scales_path
+        if path and os.path.exists(path):
+            with open(path) as f:
+                scales = json.load(f)
+        if not scales:
+            if images_u8.ndim == 5:
+                base = np.asarray(images_u8).reshape(
+                    (-1,) + images_u8.shape[-3:])
+                scales = calibrate(self.variables, [base],
+                                   self.model_arch, n_crops=1,
+                                   crop=self.crop)
+            else:
+                scales = calibrate(self.variables,
+                                   [np.asarray(images_u8)],
+                                   self.model_arch, n_crops=self.n_crops,
+                                   crop=self.crop)
+            if path:
+                try:
+                    with open(path, "w") as f:
+                        json.dump(scales, f, indent=1, sort_keys=True)
+                except OSError:
+                    pass  # read-only checkpoint dir: recalibrate next run
         int8_apply = build_int8_apply(self._qnet, scales,
                                       n_classes=self._n_classes)
 

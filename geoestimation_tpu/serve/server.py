@@ -250,10 +250,13 @@ def main(argv=None):
                                        hparams_path=args.hparams)
     import jax.numpy as jnp
 
+    from ..eval.engine import default_scales_path
+
     engine = InferenceEngine(
         config, state, n_crops=args.crops, fast=args.fast,
         dtype=jnp.float32 if args.precision == 32 else jnp.bfloat16,
         int8=(args.precision == 8),
+        int8_scales_path=default_scales_path(args.checkpoint),
         search_dirs=[os.path.dirname(os.path.abspath(args.checkpoint)),
                      args.checkpoint, os.getcwd()],
     )

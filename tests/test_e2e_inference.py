@@ -163,6 +163,37 @@ class TestInt8Engine:
         agree = (a.pred_class.values == b.pred_class.values).mean()
         assert agree >= 0.7, f"int8 vs bf16 class agreement {agree}"
 
+    def test_int8_scales_cached_next_to_checkpoint(self, world, tmp_path,
+                                                   monkeypatch):
+        """First --precision 8 run writes <ckpt>/int8_scales.json; later
+        runs load it and never calibrate again."""
+        import json
+
+        from classification.inference import main
+
+        scales_file = os.path.join(world["ckpt"], "int8_scales.json")
+        if os.path.exists(scales_file):
+            os.unlink(scales_file)
+        common = ["--checkpoint", world["ckpt"], "--image_dir",
+                  world["img_dir"], "--batch_size", "8", "--crops", "1",
+                  "--precision", "8"]
+        main(common + ["--output", str(tmp_path / "a.csv")])
+        assert os.path.exists(scales_file)
+        scales = json.load(open(scales_file))
+        assert "stem" in scales and all(v > 0 for v in scales.values())
+
+        # second run must NOT calibrate (poison the calibrator)
+        import geoestimation_tpu.models.quant as quant
+
+        def boom(*a, **k):
+            raise AssertionError("calibrate() called despite cache")
+
+        monkeypatch.setattr(quant, "calibrate", boom)
+        main(common + ["--output", str(tmp_path / "b.csv")])
+        a = pd.read_csv(tmp_path / "a.csv")
+        b = pd.read_csv(tmp_path / "b.csv")
+        assert (a.pred_class.values == b.pred_class.values).all()
+
 
 class TestTestCLI:
     def test_accuracy_table(self, world, tmp_path, capsys):
