@@ -130,21 +130,55 @@ def torch_forward(sd, x, training=False):
     ]
 
 
-def train_torch(sd, n_classes, steps=5, batch=4, size=96):
-    """Real SGD steps (live BN running-stat updates) on random data — the
-    point is a checkpoint whose BN statistics and heads are not at init."""
+def color_targets(parts):
+    """Per head, the class whose cell center is nearest each of three
+    Paris-region anchors — so the color->class mapping the net learns
+    points at geographically sensible cells and the GCD tables get a
+    spread of hits and misses (not all-zero, not saturated)."""
+    anchors = [(48.2, 2.0), (48.8, 2.4), (49.2, 3.0)]
+    return [
+        [int(np.argmin((p.lat - la) ** 2 + (p.lng - ln) ** 2))
+         for la, ln in anchors]
+        for p in parts
+    ]
+
+
+def train_torch(sd, n_classes, targets=None, steps=5, batch=4, size=96):
+    """Real SGD steps (live BN running-stat updates). Default: random
+    data/labels — the point is a checkpoint whose BN statistics and
+    heads are not at init. With `targets` (per-head class per color
+    class, see color_targets): training data has the eval images'
+    dominant-color structure so the checkpoint produces DECISIVE logits
+    on the eval set — the int8 leg needs that, because near-tie
+    argmaxes flip under any precision change."""
     import torch.nn.functional as F
 
+    mean = np.asarray(IMAGENET_MEAN, np.float32).reshape(3, 1, 1)
+    std = np.asarray(IMAGENET_STD, np.float32).reshape(3, 1, 1)
     params = [v for v in sd.values() if v.requires_grad]
     opt = torch.optim.SGD(params, lr=0.02, momentum=0.9)
     for step in range(steps):
-        x = torch.tensor(
-            RNG.normal(0, 1, (batch, 3, size, size)).astype(np.float32)
-        )
-        labels = [
-            torch.tensor(RNG.integers(0, n, batch).astype(np.int64))
-            for n in n_classes
-        ]
+        if targets is None:
+            x = torch.tensor(
+                RNG.normal(0, 1, (batch, 3, size, size)).astype(
+                    np.float32))
+            labels = [
+                torch.tensor(RNG.integers(0, n, batch).astype(np.int64))
+                for n in n_classes
+            ]
+        else:
+            cls = RNG.integers(0, 3, batch)
+            u8 = np.zeros((batch, 3, size, size), np.float32)
+            for b, c in enumerate(cls):
+                u8[b, c] = 180.0
+                u8[b, (c + 1) % 3] = 60.0
+            u8 = np.clip(u8 + RNG.normal(0, 40, u8.shape), 0,
+                         255).astype(np.float32)
+            x = torch.tensor((u8 / 255.0 - mean) / std)
+            labels = [
+                torch.tensor(np.asarray([t[c] for c in cls], np.int64))
+                for t in targets
+            ]
         logits = torch_forward(sd, x, training=True)
         loss = sum(F.cross_entropy(lg, lb) for lg, lb in zip(logits, labels))
         opt.zero_grad()
@@ -267,29 +301,46 @@ def world(tmp_path_factory, geo_parts):
     return root, cell_files, str(img_dir), meta_path, meta
 
 
-def test_full_cli_table_matches_torch_stack(world, geo_parts):
+def _train_and_import(world, geo_parts, targets, tag):
     root, cell_files, img_dir, meta_path, meta = world
     n_classes = [len(p) for p in geo_parts]
-
-    # 1. torch-side training -> Lightning-style checkpoint
     sd = make_torch_params(n_classes)
-    train_torch(sd, n_classes)
-    ckpt_path = str(root / "epoch=004-val_loss=1.0.ckpt")
+    train_torch(sd, n_classes, targets,
+                steps=14 if targets else 5,
+                batch=6 if targets else 4)
+    ckpt_path = str(root / f"epoch=004-val_loss=1.0{tag}.ckpt")
     with torch.no_grad():
         torch.save(
             {"state_dict": {f"model.{k}": v.detach() for k, v in sd.items()},
              "hyper_parameters": {"arch": ARCH}},
             ckpt_path,
         )
-
-    # 2. import via the real CLI
-    out_dir = str(root / "imported")
+    out_dir = str(root / f"imported{tag}")
     imp.main([
         "--torch_ckpt", ckpt_path,
         "--cell_files", *cell_files,
         "--output", out_dir,
         "--arch", ARCH,
     ])
+    return sd, out_dir
+
+
+@pytest.fixture(scope="module")
+def imported(world, geo_parts):
+    """Noise-trained torch ckpt -> import CLI (exact-parity test)."""
+    return _train_and_import(world, geo_parts, None, "")
+
+
+@pytest.fixture(scope="module")
+def imported_decisive(world, geo_parts):
+    """Color-structure-trained ckpt (decisive eval logits, int8 leg)."""
+    return _train_and_import(world, geo_parts, color_targets(geo_parts),
+                             "_dec")
+
+
+def test_full_cli_table_matches_torch_stack(world, geo_parts, imported):
+    root, cell_files, img_dir, meta_path, meta = world
+    sd, out_dir = imported
 
     # 3. our full CLI path (host-exact TTA, reference fold, fp32)
     from classification.test import main as test_main
@@ -325,3 +376,36 @@ def test_full_cli_table_matches_torch_stack(world, geo_parts):
     vals = [theirs[k][t] for k in theirs for t in THRESHOLDS]
     assert any(v > 0.0 for v in vals), theirs
     assert any(v < 1.0 for v in vals), theirs
+
+
+def test_int8_tables_track_fp32_on_imported_checkpoint(world, geo_parts,
+                                                       imported_decisive):
+    """The int8 serving precision on an IMPORTED reference-style
+    checkpoint: `classification.test --precision 8` must produce the
+    same accuracy table as fp32 up to at most one flipped image per
+    cell (PTQ argmax flips happen only near ties; the demo-world
+    checkpoint measured zero). Single-crop keeps the XLA:CPU int8 conv
+    runtime sane."""
+    root, cell_files, img_dir, meta_path, meta = world
+    sd, out_dir = imported_decisive
+    from classification.test import main as test_main
+
+    common = [
+        "--checkpoint", out_dir,
+        "--image_dirs", img_dir,
+        "--meta_files", meta_path,
+        "--cpu", "--crops", "1",
+        "--batch_size", str(N_EVAL),
+    ]
+    fp32 = test_main(common + ["--precision", "32"])
+    int8 = test_main(common + ["--precision", "8"])
+    name = os.path.basename(img_dir)
+    tol = 1.0 / N_EVAL + 1e-9
+    for p_key, expect in fp32[name].items():
+        if p_key.startswith("_"):
+            continue
+        got = int8[name][p_key]
+        for thr in expect:
+            assert abs(got[thr] - expect[thr]) <= tol, (
+                f"{p_key}@{thr}km: int8={got[thr]} fp32={expect[thr]}"
+            )
