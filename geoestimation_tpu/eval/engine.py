@@ -211,7 +211,7 @@ class InferenceEngine:
                     mean_tta_logits(l, self.n_crops, fold=self.tta_fold)
                     for l in logits
                 ]
-                return predict_all(logits, self.harrays)
+                return self._pack(predict_all(logits, self.harrays))
 
         self._int8_apply = jax.jit(fwd)
         self.int8_scales = scales
@@ -238,7 +238,26 @@ class InferenceEngine:
         with jax.named_scope("tta_hierarchy"):
             logits = [mean_tta_logits(l, n_crops, fold=self.tta_fold)
                       for l in logits]
-            return predict_all(logits, self.harrays)
+            return self._pack(predict_all(logits, self.harrays))
+
+    @staticmethod
+    def _pack(preds):
+        """{p_key: (cls_i32, lat, lng)} -> one (K, 3, B) f32 device
+        array (keys sorted). A remote/tunneled device pays one host
+        round trip PER transferred leaf — 12 leaves measured 468 ms p50
+        single-image serving latency on the tunnel; packing makes it
+        one transfer. Class indices are exact in f32 (< 2^24)."""
+        return jnp.stack([
+            jnp.stack([preds[k][0].astype(jnp.float32),
+                       preds[k][1].astype(jnp.float32),
+                       preds[k][2].astype(jnp.float32)])
+            for k in sorted(preds)
+        ])
+
+    @property
+    def pred_keys(self):
+        """Sorted p_keys matching `_pack`'s leading axis."""
+        return sorted([p.name for p in self.partitionings] + ["hierarchy"])
 
     def predict_batch(self, images_u8: np.ndarray):
         """uint8 (B, base, base, 3) -> {p_key: (cls, lat, lng)} numpy."""
@@ -248,10 +267,14 @@ class InferenceEngine:
         if self._int8:
             if self._int8_apply is None:
                 self._build_int8(images)
-            preds = self._int8_apply(images)
+            flat = self._int8_apply(images)
         else:
-            preds = self._forward(self.variables, images)
-        return jax.tree.map(np.asarray, preds)
+            flat = self._forward(self.variables, images)
+        flat = np.asarray(flat)  # ONE device->host transfer
+        return {
+            k: (flat[i, 0].astype(np.int64), flat[i, 1], flat[i, 2])
+            for i, k in enumerate(self.pred_keys)
+        }
 
     # -- folder-level drivers ------------------------------------------------
 
