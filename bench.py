@@ -161,13 +161,20 @@ def _measure(batch: int, iters: int) -> float:
             quantize_model,
         )
 
+        from geoestimation_tpu.models.quant import scales_valid
+
         scales_path = os.path.join(
             os.path.dirname(os.path.abspath(__file__)),
             "tools", "bench_int8_scales.json")
         scales = None
         if os.path.exists(scales_path):
-            with open(scales_path) as f:
-                scales = json.load(f)
+            try:
+                with open(scales_path) as f:
+                    scales = json.load(f)
+            except (json.JSONDecodeError, OSError):
+                scales = None
+            if scales is not None and not scales_valid(scales, "resnet50"):
+                scales = None  # stale site-naming / arch: recalibrate
         if not scales:
             calib = np.random.default_rng(123).integers(
                 0, 255, (8, 256, 256, 3), dtype=np.uint8)

@@ -165,13 +165,27 @@ class InferenceEngine:
         loaded from / saved to `int8_scales_path` when given."""
         import json
 
-        from ..models.quant import build_int8_apply, calibrate
+        from ..models.quant import (
+            build_int8_apply,
+            calibrate,
+            scales_valid,
+        )
 
         scales = None
         path = self._int8_scales_path
         if path and os.path.exists(path):
-            with open(path) as f:
-                scales = json.load(f)
+            # Trust the cache only after validation: a truncated write,
+            # a file from a different arch, or an older site-naming
+            # scheme must trigger recalibration, not a crash or silent
+            # mis-scaling.
+            try:
+                with open(path) as f:
+                    scales = json.load(f)
+            except (json.JSONDecodeError, OSError):
+                scales = None
+            if scales is not None and not scales_valid(scales,
+                                                       self.model_arch):
+                scales = None
         if not scales:
             if images_u8.ndim == 5:
                 base = np.asarray(images_u8).reshape(
@@ -186,8 +200,12 @@ class InferenceEngine:
                                    crop=self.crop)
             if path:
                 try:
-                    with open(path, "w") as f:
+                    # atomic write: concurrent starters / mid-write kills
+                    # must never leave a truncated file behind
+                    tmp = f"{path}.tmp.{os.getpid()}"
+                    with open(tmp, "w") as f:
                         json.dump(scales, f, indent=1, sort_keys=True)
+                    os.replace(tmp, path)
                 except OSError:
                     pass  # read-only checkpoint dir: recalibrate next run
         int8_apply = build_int8_apply(self._qnet, scales,

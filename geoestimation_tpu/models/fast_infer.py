@@ -236,7 +236,7 @@ def build_fast_apply(variables, arch="resnet50", n_classes=None,
             # stride-2 stage entry runs unpadded (Pallas s2 when enabled)
             fb, stride, pallas_ok, npi = blocks[0]
             if stride == 2 and pallas_ok and x.shape[0] % npi == 0 \
-                    and x.shape[2] % 8 == 0 and x.shape[2] % 2 == 0:
+                    and x.shape[2] % 8 == 0:
                 x = _pallas_block(x, fb, npi, stride=2)
                 rest = blocks[1:]
             elif stride == 2:

@@ -117,23 +117,52 @@ def quantize_model(variables, arch="resnet50", eps=1e-5):
                 qb["downsample"] = (kq, sw, b.astype(np.float32))
             blocks[name] = qb
 
+    # Heads stay bf16: keep ONLY the head subtrees (the full fp32 param
+    # tree would pin a duplicate ~100 MB backbone copy in the apply
+    # closure for the life of the process).
+    isn = "scene_head" in params
+    heads = {
+        k: params[k]
+        for k in (("scene_head", "scene_geo_heads") if isn else ("heads",))
+    }
     return {
         "arch": arch,
         "stage_sizes": stage_sizes,
         "stem": (stem_q, stem_sw, bpp.astype(np.float32)),
         "stem_pad_val": pad_val,
         "blocks": blocks,
-        "params": params,  # heads stay bf16; ISN detection
+        "isn": isn,
+        "heads": heads,
     }
 
 
-def _site_names(stage_sizes):
+def site_names(stage_sizes):
+    """Every activation-scale site the int8 net requires: stem, three
+    per block, plus the standalone conv3 requant site (`_y3`) in each
+    stage-entry (downsample) block. Used to validate cached scale files
+    before trusting them."""
     names = ["stem"]
     for stage, n_blocks in enumerate(stage_sizes):
         for bidx in range(n_blocks):
             p = f"layer{stage + 1}_block{bidx}"
             names += [f"{p}_m1", f"{p}_m2", f"{p}_out"]
+            if bidx == 0:
+                names.append(f"{p}_y3")
     return names
+
+
+def scales_valid(scales, arch="resnet50") -> bool:
+    """True iff `scales` is a complete, sane site->scale mapping for
+    `arch` (exact key set, positive finite floats)."""
+    if not isinstance(scales, dict):
+        return False
+    expect = set(site_names(STAGE_SIZES[arch]))
+    if set(scales) != expect:
+        return False
+    try:
+        return all(np.isfinite(v) and v > 0 for v in scales.values())
+    except TypeError:
+        return False
 
 
 def make_calibration_fn(variables, arch="resnet50", eps=1e-5):
@@ -240,7 +269,7 @@ def build_int8_apply(qnet, act_scales, n_classes=None):
     is s8 x s8 -> s32 followed by one fused multiply-add-clip-round.
     """
     stage_sizes = qnet["stage_sizes"]
-    params = qnet["params"]
+    params = qnet["heads"]
 
     def requant(y32, mult, bias_over_s, lo=0.0):
         # y_q = clip(round(y32 * mult + bias_over_s), lo, 127)
@@ -366,7 +395,7 @@ def build_int8_apply(qnet, act_scales, n_classes=None):
                  for bl in stages]
 
     # --- heads (bf16, identical to fast_infer) ---
-    isn = "scene_head" in params
+    isn = qnet["isn"]
     if isn:
         scene_kernel = jnp.asarray(params["scene_head"]["kernel"],
                                    jnp.bfloat16)

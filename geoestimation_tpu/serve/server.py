@@ -94,6 +94,13 @@ class MicroBatcher:
             )
             for i, item in enumerate(group):
                 images[i] = item.image
+            # pad slots repeat real images rather than staying black:
+            # their predictions are discarded, but the int8 engine
+            # calibrates activation scales on its FIRST batch — zero
+            # padding would bake underestimated scales (persistent
+            # clipping) into the scales cache
+            for i in range(len(group), self.batch_size):
+                images[i] = group[i % len(group)].image
             preds = self.predict_fn(images)
             for i, item in enumerate(group):
                 item.result = {

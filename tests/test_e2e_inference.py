@@ -194,6 +194,24 @@ class TestInt8Engine:
         b = pd.read_csv(tmp_path / "b.csv")
         assert (a.pred_class.values == b.pred_class.values).all()
 
+    def test_int8_corrupt_scales_cache_recovers(self, world, tmp_path):
+        """A truncated/garbage int8_scales.json must trigger
+        recalibration (and be atomically replaced), not crash."""
+        import json
+
+        from classification.inference import main
+
+        scales_file = os.path.join(world["ckpt"], "int8_scales.json")
+        with open(scales_file, "w") as f:
+            f.write('{"stem": 0.1, "trunca')  # mid-write kill artifact
+        main(["--checkpoint", world["ckpt"], "--image_dir",
+              world["img_dir"], "--batch_size", "8", "--crops", "1",
+              "--precision", "8", "--output", str(tmp_path / "c.csv")])
+        scales = json.load(open(scales_file))  # rewritten, valid
+        from geoestimation_tpu.models.quant import scales_valid
+
+        assert scales_valid(scales, "resnet50")
+
 
 class TestTestCLI:
     def test_accuracy_table(self, world, tmp_path, capsys):

@@ -274,6 +274,22 @@ def test_int8_sharded_matches_single_device(model_and_vars,
         assert (s.argmax(-1) == d.argmax(-1)).all()
 
 
+def test_scales_valid():
+    from geoestimation_tpu.models.quant import scales_valid, site_names
+    from geoestimation_tpu.models.resnet import STAGE_SIZES
+
+    names = site_names(STAGE_SIZES["resnet50"])
+    assert len(names) == 53 and "layer3_block0_y3" in names
+    good = {k: 1.0 for k in names}
+    assert scales_valid(good, "resnet50")
+    assert not scales_valid({k: v for k, v in good.items()
+                             if not k.endswith("_y3")}, "resnet50")
+    assert not scales_valid(good, "resnet101")
+    assert not scales_valid({**good, "stem": 0.0}, "resnet50")
+    assert not scales_valid({**good, "stem": "x"}, "resnet50")
+    assert not scales_valid(None, "resnet50")
+
+
 def test_int8_pipeline_one_call(model_and_vars, calib_images):
     _, variables = model_and_vars
     from geoestimation_tpu.models.quant import build_int8_pipeline

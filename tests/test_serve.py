@@ -118,6 +118,31 @@ class TestHTTP:
         assert data["requests"] >= 1
 
 
+class TestBatchPadding:
+    def test_pad_slots_repeat_real_images(self):
+        seen = []
+
+        def fake_predict(images):
+            seen.append(images.copy())
+            n = len(images)
+            return {"hierarchy": (np.zeros(n, np.int32),
+                                  np.ones(n, np.float32),
+                                  np.ones(n, np.float32))}
+
+        mb = MicroBatcher(fake_predict, batch_size=4, max_wait_ms=1,
+                          base_size=8)
+        try:
+            img = np.full((8, 8, 3), 200, np.uint8)
+            mb.submit(img)
+        finally:
+            mb.close()
+        # pad slots must carry real image data, not zeros — the int8
+        # engine calibrates on its first batch and black padding would
+        # bake underestimated activation scales
+        batch = seen[0]
+        assert (batch == 200).all()
+
+
 class TestInt8Serving:
     def test_int8_engine_through_batcher(self, geo_parts):
         """Serving with --precision 8 semantics: int8 engine behind the
