@@ -93,6 +93,12 @@ def main(argv=None):
     p.add_argument("--im2gps3k_dir")
     p.add_argument("--im2gps3k_meta")
     p.add_argument("--batch_size", type=int, default=64)
+    p.add_argument("--precision", type=int, default=32,
+                   choices=[8, 16, 32],
+                   help="32 (default, strict parity), 16, or 8 — int8 "
+                        "PTQ serving precision (docs/QUANTIZATION.md); "
+                        "run both 32 and 8 to quantify PTQ's table "
+                        "delta on real data")
     p.add_argument("--cpu", action="store_true")
     args = p.parse_args(argv)
 
@@ -134,6 +140,7 @@ def main(argv=None):
             "--meta_files", meta,
             "--crops", "10", "--exact_tta", "--tta_fold", "prob_mean",
             "--batch_size", str(args.batch_size),
+            "--precision", str(args.precision),
         ] + (["--cpu"] if args.cpu else []))
         ours = results[os.path.basename(os.path.normpath(image_dir))]
         ours = {k: v for k, v in ours.items() if not k.startswith("_")}
