@@ -165,11 +165,38 @@ def scales_valid(scales, arch="resnet50") -> bool:
         return False
 
 
-def make_calibration_fn(variables, arch="resnet50", eps=1e-5):
-    """Returns jittable `f(images_norm_f32) -> {site: absmax}` running the
-    folded net in fp32 and recording the post-relu absmax at every requant
-    site. Feed it `ingest.pipeline.eval_pipeline(..., dtype=jnp.float32)`
-    crops; combine batches with elementwise max."""
+def _stat_fn(stat):
+    """Reduction recorded at each calibration site.
+
+    'absmax' (default): exact max-of-|x| — robust on small calibration
+    sets but sensitive to a single activation outlier on large ones.
+    'p999' / 'p9999': approximate 99.9/99.99th percentile of |x| via a
+    deterministic stride-subsample to <=2^20 elements (sorting the full
+    514M-element layer1 tensor would dominate compile/runtime; the tail
+    estimate from 1M samples is plenty for a scale). Percentile scales
+    trade a little clipping for finer resolution — the standard PTQ
+    lever when absmax shows drift on real data."""
+    if stat == "absmax":
+        return lambda x: jnp.max(jnp.abs(x))
+    if stat in ("p999", "p9999"):
+        q = 0.999 if stat == "p999" else 0.9999
+
+        def f(x):
+            flat = jnp.abs(x.reshape(-1))
+            step = max(1, flat.shape[0] // (1 << 20))
+            return jnp.quantile(flat[::step], q)
+
+        return f
+    raise ValueError(f"unknown calibration stat {stat!r}")
+
+
+def make_calibration_fn(variables, arch="resnet50", eps=1e-5,
+                        stat="absmax"):
+    """Returns jittable `f(images_norm_f32) -> {site: stat(|x|)}` running
+    the folded net in fp32 and recording the chosen statistic (see
+    `_stat_fn`) at every requant site. Feed it
+    `ingest.pipeline.eval_pipeline(..., dtype=jnp.float32)` crops;
+    combine batches with elementwise max."""
     params = jax.device_get(variables["params"])
     stats = jax.device_get(variables["batch_stats"])
     bb_p, bb_s = params["backbone"], stats["backbone"]
@@ -196,12 +223,14 @@ def make_calibration_fn(variables, arch="resnet50", eps=1e-5):
             padding=pad, dimension_numbers=("NHWC", "HWIO", "NHWC"),
         ) + jnp.asarray(bias, jnp.float32)
 
+    record = _stat_fn(stat)
+
     def f(images):
         rec = {}
         x = conv(images.astype(jnp.float32), stem_k, stem_b, s=2,
                  pad=((3, 3), (3, 3)))
         x = jnp.maximum(x, 0.0)
-        rec["stem"] = jnp.max(x)
+        rec["stem"] = record(x)
         x = jax.lax.reduce_window(
             x, -jnp.inf, jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1),
             ((0, 0), (1, 1), (1, 1), (0, 0)))
@@ -214,37 +243,40 @@ def make_calibration_fn(variables, arch="resnet50", eps=1e-5):
                 w2, b2 = fb["conv2"]
                 w3, b3 = fb["conv3"]
                 y = jnp.maximum(conv(x, w1, b1), 0.0)
-                rec[f"{name}_m1"] = jnp.max(y)
+                rec[f"{name}_m1"] = record(y)
                 y = jnp.maximum(
                     conv(y, w2, b2, s=stride, pad=((1, 1), (1, 1))), 0.0)
-                rec[f"{name}_m2"] = jnp.max(y)
+                rec[f"{name}_m2"] = record(y)
                 y = conv(y, w3, b3)
                 if "downsample" in fb:
                     # entry blocks: conv3 requantizes standalone (site
                     # _y3) so its s32 output never hits HBM — record its
                     # pre-add symmetric range
-                    rec[f"{name}_y3"] = jnp.max(jnp.abs(y))
+                    rec[f"{name}_y3"] = record(y)
                     wd, bd = fb["downsample"]
                     res = conv(x, wd, bd, s=stride)
                 else:
                     res = x
                 x = jnp.maximum(y + res, 0.0)
-                rec[f"{name}_out"] = jnp.max(x)
+                rec[f"{name}_out"] = record(x)
         return rec
 
     return f
 
 
 def calibrate(variables, batches_u8, arch="resnet50", eps=1e-5,
-              n_crops=10, crop=224, headroom=1.0):
+              n_crops=10, crop=224, headroom=1.0, stat="absmax"):
     """Run the fp32 folded net over uint8 base-image batches and return
-    `{site: scale}` activation scales (absmax / 127 * headroom).
+    `{site: scale}` activation scales (stat(|x|) / 127 * headroom).
 
     `batches_u8`: iterable of (B, H, W, 3) uint8 arrays (base images;
-    ten-crop applied internally so scales match serving exactly)."""
+    ten-crop applied internally so scales match serving exactly).
+    `stat`: 'absmax' (default) or 'p999'/'p9999' percentile clipping —
+    see `_stat_fn`; `headroom`: scale multiplier (>1 trades resolution
+    for clipping margin)."""
     from ..ingest.pipeline import eval_pipeline
 
-    f = jax.jit(make_calibration_fn(variables, arch, eps))
+    f = jax.jit(make_calibration_fn(variables, arch, eps, stat=stat))
     acc = None
     for u8 in batches_u8:
         crops = eval_pipeline(jnp.asarray(u8), n_crops=n_crops, crop=crop,
@@ -446,14 +478,15 @@ def build_int8_apply(qnet, act_scales, n_classes=None):
 
 
 def build_int8_pipeline(variables, calib_batches_u8, arch="resnet50",
-                        n_classes=None, eps=1e-5, n_crops=10, crop=224):
+                        n_classes=None, eps=1e-5, n_crops=10, crop=224,
+                        stat="absmax"):
     """One-call serving build: calibrate + quantize + return
     `apply(images_u8_base) -> [per-head logits]` (ten-crop applied
     inside on int8 data — half the ingest traffic of the bf16 path)."""
     from ..ingest.pipeline import eval_pipeline_s8
 
     scales = calibrate(variables, calib_batches_u8, arch=arch, eps=eps,
-                       n_crops=n_crops, crop=crop)
+                       n_crops=n_crops, crop=crop, stat=stat)
     qnet = quantize_model(variables, arch=arch, eps=eps)
     int8_apply = build_int8_apply(qnet, scales, n_classes=n_classes)
 

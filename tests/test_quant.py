@@ -274,6 +274,37 @@ def test_int8_sharded_matches_single_device(model_and_vars,
         assert (s.argmax(-1) == d.argmax(-1)).all()
 
 
+def test_percentile_calibration(model_and_vars, calib_images):
+    """'p999' clips the activation tail: every percentile scale is <=
+    its absmax counterpart, scales stay valid, and the quantized net
+    still tracks the fp32 reference closely."""
+    _, variables = model_and_vars
+    from geoestimation_tpu.models.quant import scales_valid
+
+    sa = calibrate(variables, [calib_images], arch="resnet50",
+                   n_crops=1, crop=64)
+    sp = calibrate(variables, [calib_images], arch="resnet50",
+                   n_crops=1, crop=64, stat="p999")
+    assert scales_valid(sp, "resnet50")
+    assert all(sp[k] <= sa[k] * (1 + 1e-6) for k in sa)
+    qnet = quantize_model(variables, arch="resnet50")
+    apply_p = build_int8_apply(qnet, sp, n_classes=N_CLASSES)
+    got = apply_p(eval_pipeline_s8(jnp.asarray(calib_images),
+                                   n_crops=1, crop=64))
+    from geoestimation_tpu.models.fast_infer import build_fast_apply
+
+    ref = build_fast_apply(variables, "resnet50", n_classes=N_CLASSES,
+                           use_pallas=False)(
+        eval_pipeline(jnp.asarray(calib_images), n_crops=1, crop=64,
+                      dtype=jnp.float32))
+    for g, r in zip(got, ref):
+        g, r = np.asarray(g, np.float64), np.asarray(r, np.float64)
+        gc, rc = g - g.mean(), r - r.mean()
+        corr = (gc * rc).sum() / (
+            np.linalg.norm(gc) * np.linalg.norm(rc) + 1e-12)
+        assert corr > 0.97, f"p999 logit correlation {corr}"
+
+
 def test_scales_valid():
     from geoestimation_tpu.models.quant import scales_valid, site_names
     from geoestimation_tpu.models.resnet import STAGE_SIZES
