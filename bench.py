@@ -154,15 +154,18 @@ def _measure(batch: int, iters: int) -> float:
         precision = "bf16"
         os.environ["BENCH_PRECISION"] = "bf16-cpu-fallback"
     if precision == "int8":
-        from geoestimation_tpu.ingest.pipeline import eval_pipeline_s8
         from geoestimation_tpu.models.quant import (
             build_int8_apply,
             calibrate,
+            pack_scales,
             quantize_model,
+            unpack_scales,
+            weights_hash,
         )
+        from geoestimation_tpu.ingest.pipeline import eval_pipeline_s8
 
-        from geoestimation_tpu.models.quant import scales_valid
-
+        qnet = quantize_model(variables, arch="resnet50")
+        qhash = weights_hash(qnet)
         scales_path = os.path.join(
             os.path.dirname(os.path.abspath(__file__)),
             "tools", "bench_int8_scales.json")
@@ -170,17 +173,28 @@ def _measure(batch: int, iters: int) -> float:
         if os.path.exists(scales_path):
             try:
                 with open(scales_path) as f:
-                    scales = json.load(f)
+                    obj = json.load(f)
             except (json.JSONDecodeError, OSError):
-                scales = None
-            if scales is not None and not scales_valid(scales, "resnet50"):
-                scales = None  # stale site-naming / arch: recalibrate
+                obj = None
+            if obj is not None:
+                # hash-checked: any change to the bench model generation
+                # recalibrates instead of silently reusing stale scales
+                scales, _why = unpack_scales(obj, "resnet50",
+                                             expect_hash=qhash)
         if not scales:
             calib = np.random.default_rng(123).integers(
                 0, 255, (8, 256, 256, 3), dtype=np.uint8)
             scales = calibrate(variables, [calib], arch="resnet50",
                                n_crops=n_crops, crop=224)
-        qnet = quantize_model(variables, arch="resnet50")
+            try:  # best-effort refresh so the next run skips calibration
+                tmp = f"{scales_path}.tmp.{os.getpid()}"
+                with open(tmp, "w") as f:
+                    json.dump(pack_scales(
+                        scales, weights_hash=qhash, source="synthetic",
+                        n_images=8), f, indent=1, sort_keys=True)
+                os.replace(tmp, scales_path)
+            except OSError:
+                pass
         int8_apply = build_int8_apply(qnet, scales,
                                       n_classes=REAL_CLASS_COUNTS)
 

@@ -55,6 +55,22 @@ def build_parser():
                    help="how per-crop logits combine: prob_mean = mean of "
                         "softmax probs (reference convention, default), "
                         "log_mean = geometric, logit_mean = raw logits")
+    p.add_argument("--calib_dir", default=None,
+                   help="with --precision 8: deterministic calibration "
+                        "set (first --calib_images of this dir in sorted "
+                        "order); always recalibrates, ignoring the "
+                        "scales cache")
+    p.add_argument("--calib_images", type=int, default=64,
+                   help="images drawn from --calib_dir")
+    p.add_argument("--calib_stat", default="absmax",
+                   choices=["absmax", "p999", "p9999"],
+                   help="activation-range statistic (models/quant.py)")
+    p.add_argument("--calib_headroom", type=float, default=1.0,
+                   help="scale multiplier >1 trades resolution for "
+                        "clipping margin")
+    p.add_argument("--recalibrate", action="store_true",
+                   help="with --precision 8: ignore any cached "
+                        "int8_scales.json")
     return p
 
 
@@ -86,6 +102,11 @@ def main(argv=None):
         tta_fold=args.tta_fold,
         int8=(args.precision == 8),
         int8_scales_path=default_scales_path(args.checkpoint),
+        calib_dir=args.calib_dir,
+        calib_images=args.calib_images,
+        calib_stat=args.calib_stat,
+        calib_headroom=args.calib_headroom,
+        int8_recalibrate=args.recalibrate,
     )
     df = engine.predict_dir(args.image_dir, batch_size=args.batch_size,
                             num_workers=args.num_workers)

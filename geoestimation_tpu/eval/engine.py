@@ -72,6 +72,12 @@ class InferenceEngine:
         tta_fold: str = "prob_mean",
         int8: bool = False,
         int8_scales_path: Optional[str] = None,
+        calib_dir: Optional[str] = None,
+        calib_images: int = 64,
+        calib_stat: str = "absmax",
+        calib_headroom: float = 1.0,
+        int8_persist: bool = True,
+        int8_recalibrate: bool = False,
     ):
         """fast=True folds BatchNorm into conv weights at load time
         (models/fast_infer.py) — identical predictions up to bf16 rounding;
@@ -86,14 +92,27 @@ class InferenceEngine:
         convention, default), 'log_mean', or 'logit_mean'
         (eval.infer.mean_tta_logits).
         int8: TPU serving precision (models/quant.py) — post-training
-        int8 quantization, self-calibrated on the FIRST eval batch
-        (standard unlabeled-domain-data PTQ); ~1.3-1.4x measured over
-        bf16 on v5e. The reference's precision surface stops at fp16
-        (README.md:159-160); int8 is the beyond-parity option.
-        int8_scales_path: optional JSON file for activation scales —
-        loaded if present (skips calibration entirely), written
-        best-effort after first-batch calibration otherwise, so a
-        served checkpoint calibrates once, ever."""
+        int8 quantization; ~1.3-1.4x measured over bf16 on v5e. The
+        reference's precision surface stops at fp16 (README.md:159-160);
+        int8 is the beyond-parity option. Calibration source, in
+        priority order: `calib_dir` (deterministic: first `calib_images`
+        images of the dir in sorted order — ALWAYS recalibrates,
+        ignoring any cache), else a valid scales cache at
+        `int8_scales_path`, else the first eval batch (standard
+        unlabeled-domain-data PTQ — depends on directory order; pass
+        calib_dir for reproducible reported tables).
+        int8_scales_path: optional JSON cache for activation scales
+        (v2 provenance format, models/quant.py:pack_scales). A cached
+        file is trusted only if its weights hash matches the loaded
+        checkpoint's quantized weights — swapping/fine-tuning a
+        checkpoint in the same directory recalibrates instead of
+        silently reusing stale scales. After calibration the cache is
+        written back unless int8_persist=False or the source was fewer
+        than 8 distinct images (e.g. a padded single-image serving
+        batch).
+        calib_stat: 'absmax' | 'p999' | 'p9999' (quant.calibrate);
+        calib_headroom: scale multiplier (>1 trades resolution for
+        clipping margin); int8_recalibrate: ignore any cache."""
         mp = config.model_params
         if partitionings is None:
             paths = resolve_partitioning_paths(
@@ -122,12 +141,19 @@ class InferenceEngine:
         }
         self._int8 = int8
         self._int8_scales_path = int8_scales_path
+        self._calib_dir = calib_dir
+        self._calib_images = calib_images
+        self._calib_stat = calib_stat
+        self._calib_headroom = calib_headroom
+        self._int8_persist = int8_persist
+        self._int8_recalibrate = int8_recalibrate
         self.model_arch = mp.arch
         self._int8_apply = None  # built lazily after first-batch calib
         if int8:
-            from ..models.quant import quantize_model
+            from ..models.quant import quantize_model, weights_hash
 
             self._qnet = quantize_model(self.variables, mp.arch)
+            self._qhash = weights_hash(self._qnet)
             self._n_classes = tuple(len(p) for p in partitionings)
         self._fast_apply = None
         if fast:
@@ -160,54 +186,140 @@ class InferenceEngine:
             functools.partial(self._forward_impl, n_crops=n_crops, crop=crop)
         )
 
+    def _calib_dir_fingerprint(self):
+        """Identity of the deterministic calibration set: sha256 over
+        the (sorted) first `calib_images` filenames + sizes. Lets a
+        cached scales file prove it was calibrated on exactly this set,
+        so server restarts skip the multi-minute calibration compile
+        while any change to the set (or the weights) recalibrates."""
+        import hashlib
+
+        from ..data.image_folder import list_images
+
+        h = hashlib.sha256()
+        for p in list_images(self._calib_dir)[:self._calib_images]:
+            h.update(os.path.basename(p).encode())
+            h.update(str(os.path.getsize(p)).encode())
+        return h.hexdigest()[:16]
+
+    def _calib_dir_batches(self):
+        """Deterministic calibration stream: the first `calib_images`
+        images of `calib_dir` in sorted-filename order, as uint8 base
+        batches."""
+        from ..data.image_folder import iter_image_folder
+
+        batches, n = [], 0
+        for fb in iter_image_folder(self._calib_dir, batch_size=32):
+            good = fb.images[np.asarray(fb.valid)]
+            take = min(self._calib_images - n, len(good))
+            if take:
+                batches.append(good[:take])
+                n += take
+            if n >= self._calib_images:
+                break
+        if n == 0:
+            raise FileNotFoundError(
+                f"calib_dir {self._calib_dir!r}: no decodable images")
+        return batches, n
+
+    # Persist first-batch scales only when calibrated on a reasonably
+    # varied sample: a serving micro-batch padded from one image (or a
+    # tiny directory) must not bake its scales into the cache forever.
+    # (A padded MicroBatcher batch repeats 1-2 real images; any real
+    # eval directory provides more distinct images than this.)
+    MIN_DISTINCT_FOR_PERSIST = 6
+
     def _build_int8(self, images_u8):
-        """First-batch PTQ calibration + int8 forward build. Scales are
-        loaded from / saved to `int8_scales_path` when given."""
+        """PTQ calibration + int8 forward build. Source priority:
+        calib_dir (always recalibrates) > valid cache > first batch.
+        Cache format + trust rules: models/quant.py pack/unpack_scales."""
         import json
 
         from ..models.quant import (
             build_int8_apply,
             calibrate,
-            scales_valid,
+            pack_scales,
+            unpack_scales,
         )
 
         scales = None
+        source = None
+        n_images = 0
+        fingerprint = (self._calib_dir_fingerprint() if self._calib_dir
+                       else None)
         path = self._int8_scales_path
-        if path and os.path.exists(path):
+        if (scales is None and path and os.path.exists(path)
+                and not self._int8_recalibrate):
             # Trust the cache only after validation: a truncated write,
-            # a file from a different arch, or an older site-naming
-            # scheme must trigger recalibration, not a crash or silent
-            # mis-scaling.
+            # a different arch, an older (v1) format, or scales
+            # calibrated for DIFFERENT weights in the same directory
+            # must all trigger recalibration, not silent mis-scaling.
+            obj = None
             try:
                 with open(path) as f:
-                    scales = json.load(f)
+                    obj = json.load(f)
             except (json.JSONDecodeError, OSError):
-                scales = None
-            if scales is not None and not scales_valid(scales,
-                                                       self.model_arch):
-                scales = None
-        if not scales:
-            if images_u8.ndim == 5:
-                base = np.asarray(images_u8).reshape(
-                    (-1,) + images_u8.shape[-3:])
-                scales = calibrate(self.variables, [base],
-                                   self.model_arch, n_crops=1,
-                                   crop=self.crop)
+                obj = None
+            if obj is not None:
+                scales, why = unpack_scales(obj, self.model_arch,
+                                            expect_hash=self._qhash)
+                if scales is not None and self._calib_dir:
+                    # --calib_dir forces recalibration UNLESS the cache
+                    # proves it was calibrated on exactly this set with
+                    # these settings
+                    prov = why  # unpack returns provenance on success
+                    if not (prov.get("source") == "calib_dir"
+                            and prov.get("calib_fingerprint") == fingerprint
+                            and prov.get("stat") == self._calib_stat
+                            and prov.get("headroom")
+                            == self._calib_headroom):
+                        scales, why = None, ("cache not from this "
+                                             "calibration set/settings")
+                if scales is None:
+                    print(f"int8: ignoring scales cache {path}: {why}",
+                          flush=True)
+                else:
+                    source = "cache"
+        if scales is None and self._calib_dir:
+            batches, n_images = self._calib_dir_batches()
+            scales = calibrate(self.variables, batches, self.model_arch,
+                               n_crops=self.n_crops, crop=self.crop,
+                               stat=self._calib_stat,
+                               headroom=self._calib_headroom)
+            source = "calib_dir"
+        if scales is None:
+            arr = np.asarray(images_u8)
+            if arr.ndim == 5:
+                arr = arr.reshape((-1,) + arr.shape[-3:])
+                n_crops = 1
             else:
-                scales = calibrate(self.variables,
-                                   [np.asarray(images_u8)],
-                                   self.model_arch, n_crops=self.n_crops,
-                                   crop=self.crop)
-            if path:
-                try:
-                    # atomic write: concurrent starters / mid-write kills
-                    # must never leave a truncated file behind
-                    tmp = f"{path}.tmp.{os.getpid()}"
-                    with open(tmp, "w") as f:
-                        json.dump(scales, f, indent=1, sort_keys=True)
-                    os.replace(tmp, path)
-                except OSError:
-                    pass  # read-only checkpoint dir: recalibrate next run
+                n_crops = self.n_crops
+            scales = calibrate(self.variables, [arr], self.model_arch,
+                               n_crops=n_crops, crop=self.crop,
+                               stat=self._calib_stat,
+                               headroom=self._calib_headroom)
+            source = "first_batch"
+            n_images = len({bytes(im.tobytes()) for im in arr})
+        varied_enough = (source == "calib_dir"  # explicit user choice
+                         or n_images >= self.MIN_DISTINCT_FOR_PERSIST)
+        if (path and source != "cache" and self._int8_persist
+                and varied_enough):
+            try:
+                # atomic write: concurrent starters / mid-write kills
+                # must never leave a truncated file behind
+                tmp = f"{path}.tmp.{os.getpid()}"
+                with open(tmp, "w") as f:
+                    json.dump(
+                        pack_scales(scales, weights_hash=self._qhash,
+                                    source=source, n_images=n_images,
+                                    stat=self._calib_stat,
+                                    headroom=self._calib_headroom,
+                                    calib_fingerprint=fingerprint),
+                        f, indent=1, sort_keys=True)
+                os.replace(tmp, path)
+            except OSError:
+                pass  # read-only checkpoint dir: recalibrate next run
+        self.int8_calib_source = source
         int8_apply = build_int8_apply(self._qnet, scales,
                                       n_classes=self._n_classes)
 

@@ -165,6 +165,78 @@ def scales_valid(scales, arch="resnet50") -> bool:
         return False
 
 
+def weights_hash(qnet) -> str:
+    """Short stable identity of the quantized network's integer weights.
+
+    Stored in the scales cache so a checkpoint swapped/fine-tuned in the
+    same directory (or a regenerated bench model) can never silently
+    reuse activation scales calibrated for DIFFERENT weights — the
+    classic stale-calibration accuracy bug. Hashes the int8 weight bytes
+    only (scales of the weights are derived from them; fp32 biases add
+    nothing to identity)."""
+    import hashlib
+
+    h = hashlib.sha256()
+    h.update(qnet["arch"].encode())
+    h.update(np.ascontiguousarray(qnet["stem"][0]).tobytes())
+    for name in sorted(qnet["blocks"]):
+        qb = qnet["blocks"][name]
+        for cname in sorted(qb):
+            h.update(np.ascontiguousarray(qb[cname][0]).tobytes())
+    return h.hexdigest()[:16]
+
+
+def pack_scales(scales, *, weights_hash, source, n_images, stat="absmax",
+                headroom=1.0, calib_fingerprint=None):
+    """Wrap raw {site: scale} into the versioned on-disk format (v2).
+
+    Provenance records HOW the scales were made — calibration source
+    ('calib_dir' | 'first_batch' | 'synthetic'), the number of distinct
+    images, the statistic, the headroom, optionally a fingerprint of the
+    calibration file set — plus the weights hash that ties them to one
+    exact set of quantized weights."""
+    prov = {
+        "weights_hash": weights_hash,
+        "source": source,
+        "n_images": int(n_images),
+        "stat": stat,
+        "headroom": float(headroom),
+    }
+    if calib_fingerprint is not None:
+        prov["calib_fingerprint"] = calib_fingerprint
+    return {
+        "version": 2,
+        "scales": {k: float(v) for k, v in scales.items()},
+        "provenance": prov,
+    }
+
+
+def unpack_scales(obj, arch, expect_hash=None):
+    """Validate a loaded scales file; returns (scales, provenance) or
+    (None, reason:str).
+
+    Accepts only the v2 provenance format — legacy flat {site: scale}
+    files (round 2) carry no weights identity and are rejected so they
+    recalibrate once and upgrade. When `expect_hash` is given, a
+    mismatching weights_hash rejects the file (checkpoint changed under
+    the cache)."""
+    if not isinstance(obj, dict):
+        return None, "not a dict"
+    if obj.get("version") != 2:
+        return None, "legacy/unknown scales format (expected version 2)"
+    scales = obj.get("scales")
+    if not scales_valid(scales, arch):
+        return None, f"site map invalid for arch {arch!r}"
+    prov = obj.get("provenance")
+    if not isinstance(prov, dict):
+        return None, "missing provenance"
+    if expect_hash is not None and prov.get("weights_hash") != expect_hash:
+        return None, (f"weights hash mismatch (file "
+                      f"{prov.get('weights_hash')!r} != model "
+                      f"{expect_hash!r})")
+    return scales, prov
+
+
 def _stat_fn(stat):
     """Reduction recorded at each calibration site.
 
@@ -273,19 +345,35 @@ def calibrate(variables, batches_u8, arch="resnet50", eps=1e-5,
     ten-crop applied internally so scales match serving exactly).
     `stat`: 'absmax' (default) or 'p999'/'p9999' percentile clipping —
     see `_stat_fn`; `headroom`: scale multiplier (>1 trades resolution
-    for clipping margin)."""
+    for clipping margin).
+
+    Multi-batch combining: 'absmax' takes the max over batches (exact —
+    max of maxes IS the global max). Percentile stats take the MEAN of
+    per-batch percentile estimates: with i.i.d. calibration batches each
+    batch's p999 is an unbiased-ish estimate of the population tail, and
+    averaging converges to it — whereas max-of-percentiles would drift
+    back toward absmax as batches accumulate, eroding exactly the
+    clipping the percentile option exists for."""
     from ..ingest.pipeline import eval_pipeline
 
     f = jax.jit(make_calibration_fn(variables, arch, eps, stat=stat))
     acc = None
+    n_batches = 0
     for u8 in batches_u8:
         crops = eval_pipeline(jnp.asarray(u8), n_crops=n_crops, crop=crop,
                               dtype=jnp.float32)
         rec = jax.device_get(f(crops))
-        acc = rec if acc is None else {
-            k: max(acc[k], rec[k]) for k in rec}
+        n_batches += 1
+        if acc is None:
+            acc = dict(rec)
+        elif stat == "absmax":
+            acc = {k: max(acc[k], rec[k]) for k in rec}
+        else:
+            acc = {k: acc[k] + rec[k] for k in rec}
     if acc is None:
         raise ValueError("calibrate() needs at least one batch")
+    if stat != "absmax" and n_batches > 1:
+        acc = {k: v / n_batches for k, v in acc.items()}
     return {k: float(v) / _QMAX * headroom if v > 0 else 1.0
             for k, v in acc.items()}
 
@@ -328,6 +416,11 @@ def build_int8_apply(qnet, act_scales, n_classes=None):
 
     def stem_fn(x_s8):
         b, h, w, c = x_s8.shape
+        if h % 2 or w % 2:
+            raise ValueError(
+                f"int8 stem requires even crop dims (got {h}x{w}): the "
+                "space-to-depth formulation folds 2x2 pixel blocks into "
+                "channels, so h+8 and w+8 must be even")
         # explicit border pad (3 px of "pixel == dataset mean"), plus 2
         # trailing zero rows/cols so block space is even — those are only
         # read by the zero-padded taps 7

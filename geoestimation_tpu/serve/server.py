@@ -245,10 +245,16 @@ def main(argv=None):
                         "calibration pass)")
     p.add_argument("--calib_dir", default=None,
                    help="with --precision 8: directory of real images "
-                        "used for the warmup/calibration batch; int8 "
-                        "activation scales calibrated on synthetic "
-                        "noise are NOT representative — always provide "
-                        "domain images in production")
+                        "used for deterministic calibration (engine "
+                        "draws the first --calib_images in sorted "
+                        "order); int8 activation scales calibrated on "
+                        "synthetic noise are NOT representative — "
+                        "always provide domain images in production")
+    p.add_argument("--calib_images", type=int, default=64)
+    p.add_argument("--calib_stat", default="absmax",
+                   choices=["absmax", "p999", "p9999"])
+    p.add_argument("--recalibrate", action="store_true",
+                   help="ignore any cached int8_scales.json")
     args = p.parse_args(argv)
     if args.cpu:
         import jax
@@ -266,11 +272,22 @@ def main(argv=None):
 
     from ..eval.engine import default_scales_path
 
+    # A synthetic warmup (no --calib_dir) may still calibrate the int8
+    # path on noise — acceptable to serve behind an explicit flag, but
+    # NEVER persisted: a scales cache written from noise would silently
+    # poison every later run that trusts the cache.
+    synthetic_calib = (args.precision == 8 and args.warmup
+                       and not args.calib_dir)
     engine = InferenceEngine(
         config, state, n_crops=args.crops, fast=args.fast,
         dtype=jnp.float32 if args.precision == 32 else jnp.bfloat16,
         int8=(args.precision == 8),
         int8_scales_path=default_scales_path(args.checkpoint),
+        calib_dir=args.calib_dir,
+        calib_images=args.calib_images,
+        calib_stat=args.calib_stat,
+        int8_persist=not synthetic_calib,
+        int8_recalibrate=args.recalibrate,
         search_dirs=[os.path.dirname(os.path.abspath(args.checkpoint)),
                      args.checkpoint, os.getcwd()],
     )
@@ -280,34 +297,22 @@ def main(argv=None):
         import numpy as np
 
         t0 = _time.time()
-        batch = np.zeros((args.batch_size, 256, 256, 3), np.uint8)
-        if args.calib_dir:
-            from ..data.image_folder import iter_image_folder
-
-            n = 0
-            for fb in iter_image_folder(args.calib_dir,
-                                        batch_size=args.batch_size):
-                good = fb.images[np.asarray(fb.valid)]
-                take = min(args.batch_size - n, len(good))
-                batch[n:n + take] = good[:take]
-                n += take
-                if n >= args.batch_size:
-                    break
-            if n == 0:
-                raise SystemExit(
-                    f"--calib_dir {args.calib_dir}: no images found")
-            # tile the real images over any unfilled tail
-            for i in range(n, args.batch_size):
-                batch[i] = batch[i % n]
-        elif args.precision == 8:
+        if synthetic_calib:
             print("WARNING: int8 warmup on synthetic noise — pass "
                   "--calib_dir with domain images for representative "
-                  "activation scales", flush=True)
+                  "activation scales (these will not be cached)",
+                  flush=True)
             batch = np.random.default_rng(0).integers(
-                0, 255, batch.shape, dtype=np.uint8)
+                0, 255, (args.batch_size, 256, 256, 3), dtype=np.uint8)
+        else:
+            # engine calibrates from calib_dir itself; any batch
+            # triggers the build + jit compile
+            batch = np.zeros((args.batch_size, 256, 256, 3), np.uint8)
         engine.predict_batch(batch)
         print(f"warmup done in {_time.time() - t0:.1f}s "
-              f"(calibrated={args.precision == 8})", flush=True)
+              f"(calibrated={args.precision == 8}, "
+              f"source={getattr(engine, 'int8_calib_source', None)})",
+              flush=True)
 
     server = GeoInferenceServer(engine, host=args.host, port=args.port,
                                 batch_size=args.batch_size,

@@ -333,3 +333,95 @@ def test_int8_pipeline_one_call(model_and_vars, calib_images):
     assert out[0].shape == (calib_images.shape[0] * 5, N_CLASSES[0])
     assert out[0].dtype == jnp.float32
     assert np.all(np.isfinite(np.asarray(out[0])))
+
+class TestScalesProvenance:
+    """Round-3 scales-cache identity machinery (models/quant.py):
+    weights hashing, the v2 on-disk format, and multi-batch calibration
+    combining semantics."""
+
+    def test_weights_hash_stable_and_sensitive(self, model_and_vars):
+        _, variables = model_and_vars
+        from geoestimation_tpu.models.quant import (
+            quantize_model,
+            weights_hash,
+        )
+
+        qnet = quantize_model(variables, arch="resnet50")
+        h1 = weights_hash(qnet)
+        h2 = weights_hash(quantize_model(variables, arch="resnet50"))
+        assert h1 == h2 and len(h1) == 16
+        # flip one int8 weight -> different identity
+        import copy
+
+        qnet2 = copy.deepcopy(qnet)
+        k = qnet2["blocks"]["layer1_block0"]["conv1"][0].copy()
+        k[0, 0, 0, 0] = np.int8(int(k[0, 0, 0, 0]) ^ 1)
+        qnet2["blocks"]["layer1_block0"] = {
+            **qnet2["blocks"]["layer1_block0"],
+            "conv1": (k,) + qnet2["blocks"]["layer1_block0"]["conv1"][1:],
+        }
+        assert weights_hash(qnet2) != h1
+
+    def test_pack_unpack_roundtrip_and_rejections(self):
+        from geoestimation_tpu.models.quant import (
+            pack_scales,
+            site_names,
+            unpack_scales,
+        )
+        from geoestimation_tpu.models.resnet import STAGE_SIZES
+
+        scales = {k: 0.1 for k in site_names(STAGE_SIZES["resnet50"])}
+        obj = pack_scales(scales, weights_hash="abcd", source="calib_dir",
+                          n_images=32, stat="p999", headroom=1.05,
+                          calib_fingerprint="ffff")
+        got, prov = unpack_scales(obj, "resnet50", expect_hash="abcd")
+        assert got == scales
+        assert prov["source"] == "calib_dir"
+        assert prov["n_images"] == 32
+        assert prov["calib_fingerprint"] == "ffff"
+        # wrong weights hash -> rejected with a reason
+        got, why = unpack_scales(obj, "resnet50", expect_hash="0000")
+        assert got is None and "hash" in why
+        # legacy flat v1 format -> rejected (forces one-time upgrade)
+        got, why = unpack_scales(scales, "resnet50")
+        assert got is None and "version 2" in why
+        # wrong arch -> rejected
+        got, why = unpack_scales(obj, "resnet101", expect_hash="abcd")
+        assert got is None
+
+    def test_multibatch_combining_semantics(self, model_and_vars,
+                                            calib_images):
+        """absmax over batches = max of per-batch scales (exact global
+        max); percentile over batches = MEAN of per-batch percentile
+        scales (converges to the population tail instead of drifting
+        toward absmax)."""
+        _, variables = model_and_vars
+        b1, b2 = calib_images[:2], calib_images[2:]
+        sm = calibrate(variables, [b1, b2], arch="resnet50", n_crops=1,
+                       crop=64)
+        s1 = calibrate(variables, [b1], arch="resnet50", n_crops=1,
+                       crop=64)
+        s2 = calibrate(variables, [b2], arch="resnet50", n_crops=1,
+                       crop=64)
+        for k in sm:
+            assert abs(sm[k] - max(s1[k], s2[k])) < 1e-9
+        pm = calibrate(variables, [b1, b2], arch="resnet50", n_crops=1,
+                       crop=64, stat="p999")
+        p1 = calibrate(variables, [b1], arch="resnet50", n_crops=1,
+                       crop=64, stat="p999")
+        p2 = calibrate(variables, [b2], arch="resnet50", n_crops=1,
+                       crop=64, stat="p999")
+        for k in pm:
+            assert abs(pm[k] - (p1[k] + p2[k]) / 2) < 1e-6 * max(pm[k], 1)
+
+    def test_stem_rejects_odd_crop(self, model_and_vars, calib_images):
+        """Space-to-depth stem needs even crop dims; an odd crop must
+        fail with a clear message, not an opaque reshape error."""
+        _, variables = model_and_vars
+        scales = calibrate(variables, [calib_images], arch="resnet50",
+                           n_crops=1, crop=64)
+        qnet = quantize_model(variables, arch="resnet50")
+        apply = build_int8_apply(qnet, scales, n_classes=N_CLASSES)
+        bad = shift_s8(jnp.asarray(calib_images[:1, :63, :63, :]))
+        with pytest.raises(ValueError, match="space-to-depth"):
+            apply(bad)

@@ -2,6 +2,7 @@
 
 import io
 import json
+import os
 import threading
 import urllib.request
 
@@ -170,3 +171,27 @@ class TestInt8Serving:
             assert out2["hierarchy"]["class"] == out["hierarchy"]["class"]
         finally:
             mb.close()
+
+    def test_padded_batch_scales_not_persisted(self, geo_parts, tmp_path):
+        """A serving batch padded from a single repeated image must NOT
+        write the scales cache (ADVICE r2: noise/single-image scales
+        silently poisoning all future runs) — only a sufficiently varied
+        calibration source persists."""
+        from geoestimation_tpu.eval.engine import InferenceEngine
+        from geoestimation_tpu.train.init import init_model_state
+        from geoestimation_tpu.utils.config import Config
+
+        config = Config()
+        config.model_params.partitionings.files = []
+        _, state = init_model_state(config, geo_parts, seed=0,
+                                    image_size=64)
+        scales_path = str(tmp_path / "int8_scales.json")
+        engine = InferenceEngine(config, state, partitionings=geo_parts,
+                                 n_crops=1, int8=True,
+                                 int8_scales_path=scales_path)
+        img = np.random.default_rng(1).integers(
+            0, 255, (256, 256, 3), dtype=np.uint8)
+        batch = np.stack([img] * 4)  # micro-batcher pad pattern
+        engine.predict_batch(batch)
+        assert engine.int8_calib_source == "first_batch"
+        assert not os.path.exists(scales_path)
