@@ -47,6 +47,12 @@ def build_parser():
                         "(identical predictions up to bf16 rounding)")
     p.add_argument("--pallas", action="store_true",
                    help="with --fast: fused Pallas bottleneck blocks")
+    p.add_argument("--feature_tta", action="store_true",
+                   help="feature-space ten-crop TTA: run the trunk once "
+                        "per base image and crop at the layer3 feature "
+                        "map (~4x less trunk work; approximate at crop "
+                        "borders — accuracy deltas measured by "
+                        "tools/quant_study.py --feature_tta)")
     p.add_argument("--exact_tta", action="store_true",
                    help="torchvision-exact host ten-crop geometry (strict "
                         "parity for imported reference checkpoints)")
@@ -98,7 +104,8 @@ def main(argv=None):
                      args.checkpoint, os.getcwd()],
         fast=args.fast,
         use_pallas=args.pallas,
-        tta_mode="host_exact" if args.exact_tta else "device",
+        tta_mode=("feature" if args.feature_tta
+                  else "host_exact" if args.exact_tta else "device"),
         tta_fold=args.tta_fold,
         int8=(args.precision == 8),
         int8_scales_path=default_scales_path(args.checkpoint),

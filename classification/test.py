@@ -40,6 +40,12 @@ def build_parser():
                    help="force the CPU backend (debug)")
     p.add_argument("--fast", action="store_true",
                    help="fold BatchNorm into conv weights at load")
+    p.add_argument("--feature_tta", action="store_true",
+                   help="feature-space ten-crop TTA: run the trunk once "
+                        "per base image and crop at the layer3 feature "
+                        "map (~4x less trunk work; approximate at crop "
+                        "borders — accuracy deltas measured by "
+                        "tools/quant_study.py --feature_tta)")
     p.add_argument("--exact_tta", action="store_true",
                    help="torchvision-exact host ten-crop geometry")
     p.add_argument("--tta_fold", default="prob_mean",
@@ -95,7 +101,8 @@ def main(argv=None):
         search_dirs=[os.path.dirname(os.path.abspath(args.checkpoint)),
                      args.checkpoint, os.getcwd()],
         fast=args.fast,
-        tta_mode="host_exact" if args.exact_tta else "device",
+        tta_mode=("feature" if args.feature_tta
+                  else "host_exact" if args.exact_tta else "device"),
         tta_fold=args.tta_fold,
         int8=(args.precision == 8),
         int8_scales_path=default_scales_path(args.checkpoint),

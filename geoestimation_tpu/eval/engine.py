@@ -164,8 +164,21 @@ class InferenceEngine:
                 n_classes=tuple(len(p) for p in partitionings),
                 use_pallas=use_pallas,
             )
-        if tta_mode not in ("device", "host_exact"):
+        if tta_mode not in ("device", "host_exact", "feature"):
             raise ValueError(f"unknown tta_mode {tta_mode!r}")
+        if tta_mode == "feature" and n_crops not in (5, 10):
+            raise ValueError("feature TTA supports 5 or 10 crops")
+        self._feature_apply = None
+        if tta_mode == "feature" and not int8:
+            # bf16/fp32 feature TTA rides the folded-BN stage structure
+            # (supersedes `fast` — it is the folded path plus the
+            # feature-crop trick)
+            from ..models.fast_infer import build_feature_tta_apply
+
+            self._feature_apply = build_feature_tta_apply(
+                self.variables, mp.arch,
+                n_classes=tuple(len(p) for p in partitionings),
+                crop=crop, n_crops=n_crops)
         from .infer import TTA_FOLDS
 
         if tta_fold not in TTA_FOLDS:
@@ -320,15 +333,21 @@ class InferenceEngine:
             except OSError:
                 pass  # read-only checkpoint dir: recalibrate next run
         self.int8_calib_source = source
+        feature_tta = ({"crop": self.crop, "n_crops": self.n_crops}
+                       if self.tta_mode == "feature" else None)
         int8_apply = build_int8_apply(self._qnet, scales,
-                                      n_classes=self._n_classes)
+                                      n_classes=self._n_classes,
+                                      feature_tta=feature_tta)
 
         def fwd(images_u8):
             from ..ingest.pipeline import eval_pipeline_s8
             from ..models.quant import shift_s8
 
             with jax.named_scope("ingest_s8"):
-                if images_u8.ndim == 5:
+                if feature_tta is not None:
+                    x = shift_s8(images_u8)  # base image; crops happen
+                    #                          at the layer3 feature map
+                elif images_u8.ndim == 5:
                     x = shift_s8(
                         images_u8.reshape((-1,) + images_u8.shape[-3:]))
                 else:
@@ -347,6 +366,19 @@ class InferenceEngine:
         self.int8_scales = scales
 
     def _forward_impl(self, variables, images_u8, n_crops, crop):
+        if self._feature_apply is not None:
+            # feature-space TTA: trunk on the normalized BASE image;
+            # crops happen at the layer3 feature map (fast_infer docs)
+            from ..ingest.pipeline import normalize
+
+            with jax.named_scope("ingest"):
+                x = normalize(images_u8, jnp.bfloat16)
+            with jax.named_scope("backbone_heads_feature_tta"):
+                logits = self._feature_apply(x)
+            with jax.named_scope("tta_hierarchy"):
+                logits = [mean_tta_logits(l, n_crops, fold=self.tta_fold)
+                          for l in logits]
+                return self._pack(predict_all(logits, self.harrays))
         with jax.named_scope("ingest"):
             if images_u8.ndim == 5:
                 # host-precropped (B, n_crops, crop, crop, 3): normalize

@@ -270,10 +270,7 @@ def build_fast_apply(variables, arch="resnet50", n_classes=None,
 
     stage_fns = [stem_fn] + [make_stage_fn(blocks) for blocks in stages]
 
-    def apply(images):
-        x = images
-        for fn in stage_fns:
-            x = fn(x)
+    def head_logits(x):
         feats = jnp.mean(x, axis=(1, 2), dtype=jnp.float32)
         logits = jax.lax.dot_general(
             feats.astype(jnp.bfloat16), head_kernel,
@@ -299,7 +296,67 @@ def build_fast_apply(variables, arch="resnet50", n_classes=None,
             start += n
         return out
 
+    def apply(images):
+        x = images
+        for fn in stage_fns:
+            x = fn(x)
+        return head_logits(x)
+
     apply.stage_fns = stage_fns  # cut points for tools/bench_stages.py
+    apply.head_logits = head_logits  # reused by build_feature_tta_apply
+    return apply
+
+
+def build_feature_tta_apply(variables, arch="resnet50", n_classes=None,
+                            use_pallas=False, crop=224, n_crops=10,
+                            eps=1e-5):
+    """Feature-space ten-crop TTA, bf16: `apply(base_norm) -> logits
+    (B * n_crops, C)` where `base_norm` is the NORMALIZED square base
+    image (B, S, S, 3), not crops.
+
+    Runs stem..layer3 once on the base (plus once on its horizontal
+    mirror for n_crops=10), crops the crop-aligned windows from the
+    stride-16 layer3 feature map (pixel offsets {0, (S-crop)/2, S-crop}
+    are exact feature offsets), and runs layer4 + head per window —
+    ten-crop trunk work drops ~4x. APPROXIMATE at crop borders (features
+    see real neighbors instead of crop padding); accuracy measured by
+    tools/quant_study.py --feature_tta. The int8 twin is
+    quant.build_int8_apply(feature_tta=...)."""
+    if n_crops not in (5, 10):
+        raise ValueError("feature TTA n_crops must be 5 or 10")
+    inner = build_fast_apply(variables, arch, n_classes=n_classes,
+                             use_pallas=use_pallas, eps=eps)
+    trunk = inner.stage_fns[:-1]
+    last_stage = inner.stage_fns[-1]
+
+    def apply(base_norm):
+        b, s, s2_, _ = base_norm.shape
+        if s != s2_:
+            raise ValueError("feature TTA expects square base images")
+        x = base_norm
+        if n_crops == 10:
+            x = jnp.concatenate([x, x[:, :, ::-1, :]], axis=0)
+        for fn in trunk:
+            x = fn(x)
+        g = x.shape[1]
+        stride = s // g
+        if crop % stride or (s - crop) % (2 * stride):
+            raise ValueError(
+                f"feature TTA needs crop {crop} and base {s} aligned to "
+                f"2x the layer3 stride ({stride})")
+        w = crop // stride
+        m = g - w
+        offs = [(0, 0), (0, m), (m, 0), (m, m), (m // 2, m // 2)]
+        u = x[:b]
+        windows = [u[:, r:r + w, c:c + w] for r, c in offs]
+        if n_crops == 10:
+            f = x[b:]
+            windows += [f[:, r:r + w, c:c + w] for r, c in offs]
+        xc = jnp.stack(windows, axis=1)
+        xc = xc.reshape((b * n_crops,) + xc.shape[2:])
+        xc = last_stage(xc)
+        return inner.head_logits(xc)
+
     return apply
 
 

@@ -268,7 +268,13 @@ def make_calibration_fn(variables, arch="resnet50", eps=1e-5,
     the folded net in fp32 and recording the chosen statistic (see
     `_stat_fn`) at every requant site. Feed it
     `ingest.pipeline.eval_pipeline(..., dtype=jnp.float32)` crops;
-    combine batches with elementwise max."""
+    batch-combining semantics are documented on `calibrate`."""
+    return _make_traversal_fn(variables, arch, eps, _stat_fn(stat))
+
+
+def _make_traversal_fn(variables, arch, eps, record):
+    """Shared fp32 folded-net traversal: `record(x)` is evaluated at
+    every requant site; returns a jittable images->records fn."""
     params = jax.device_get(variables["params"])
     stats = jax.device_get(variables["batch_stats"])
     bb_p, bb_s = params["backbone"], stats["backbone"]
@@ -294,8 +300,6 @@ def make_calibration_fn(variables, arch="resnet50", eps=1e-5,
             v, jnp.asarray(k, jnp.float32), window_strides=(s, s),
             padding=pad, dimension_numbers=("NHWC", "HWIO", "NHWC"),
         ) + jnp.asarray(bias, jnp.float32)
-
-    record = _stat_fn(stat)
 
     def f(images):
         rec = {}
@@ -378,7 +382,7 @@ def calibrate(variables, batches_u8, arch="resnet50", eps=1e-5,
             for k, v in acc.items()}
 
 
-def build_int8_apply(qnet, act_scales, n_classes=None):
+def build_int8_apply(qnet, act_scales, n_classes=None, feature_tta=None):
     """Returns `apply(images_s8) -> [per-head fp32 logits]`.
 
     `images_s8`: `(pixel - 128)` int8 crops, (B, 224, 224, 3) — use
@@ -387,6 +391,21 @@ def build_int8_apply(qnet, act_scales, n_classes=None):
 
     All requant multipliers are prefolded host-side; on device each conv
     is s8 x s8 -> s32 followed by one fused multiply-add-clip-round.
+
+    feature_tta (dict {"crop": 224, "n_crops": 10|5} or None): the
+    feature-space TTA mode — `apply` then takes the (B, base, base, 3)
+    BASE image (shift_s8'd, not cropped) and runs stem..layer3 ONCE on
+    it (plus once on its mirror for n_crops=10), crops 224-crop-aligned
+    windows from the layer3 feature map (stride 16: pixel offsets
+    {0, 16, 32} are exactly feature offsets {0, 1, 2}), and runs only
+    layer4+head per crop. Ten-crop trunk work drops ~4x (2 base passes
+    at 256^2 replace 10 crop passes at 224^2). APPROXIMATE by
+    construction: features within a receptive field of a crop border see
+    real neighboring pixels instead of the crop's padding — the exact
+    ten-crop path remains the default; accuracy deltas are measured by
+    tools/quant_study.py --feature_tta. Returned logits are
+    (B * n_crops, C), crops contiguous per image, ready for
+    `eval.infer.mean_tta_logits`.
     """
     stage_sizes = qnet["stage_sizes"]
     params = qnet["heads"]
@@ -480,7 +499,7 @@ def build_int8_apply(qnet, act_scales, n_classes=None):
             s_y3 = act_scales[f"{name}_y3"]
             m3 = jnp.asarray(s2 * sw3 / s_y3, jnp.float32)
             a3 = jnp.asarray(b3 / s_y3, jnp.float32)
-            g3 = jnp.float32(s_y3 / s_out)
+            g3 = jnp.asarray(s_y3 / s_out, jnp.float32)
             kd, swd, bd = qb["downsample"]
             md = jnp.asarray(s_in * swd / s_out, jnp.float32)
             ad = jnp.asarray(bd / s_out, jnp.float32)
@@ -502,7 +521,7 @@ def build_int8_apply(qnet, act_scales, n_classes=None):
             # pass; only s8 hits HBM
             m3 = jnp.asarray(s2 * sw3 / s_out, jnp.float32)
             a3 = jnp.asarray(b3 / s_out, jnp.float32)
-            md = jnp.float32(s_in / s_out)
+            md = jnp.asarray(s_in / s_out, jnp.float32)
 
             def block(x):
                 y = requant(_conv_s8(x, k1j), m1, a1)
@@ -536,13 +555,9 @@ def build_int8_apply(qnet, act_scales, n_classes=None):
         head_bias = jnp.asarray(params["heads"]["fused_head"]["bias"],
                                 jnp.float32)
     last = f"layer{len(stage_sizes)}_block{stage_sizes[-1] - 1}_out"
-    s_last = jnp.float32(act_scales[last])
+    s_last = jnp.asarray(act_scales[last], jnp.float32)
 
-    def apply(images_s8):
-        x = stem_fn(images_s8)
-        for blocks in block_fns:
-            for blk in blocks:
-                x = blk(x)
+    def head_logits(x):
         feats = jnp.mean(x.astype(jnp.float32), axis=(1, 2)) * s_last
         logits = jax.lax.dot_general(
             feats.astype(jnp.bfloat16), head_kernel,
@@ -567,7 +582,139 @@ def build_int8_apply(qnet, act_scales, n_classes=None):
             start += n
         return out
 
+    def apply(images_s8):
+        x = stem_fn(images_s8)
+        for blocks in block_fns:
+            for blk in blocks:
+                x = blk(x)
+        return head_logits(x)
+
+    if feature_tta is None:
+        return apply
+
+    ft_crop = int(feature_tta.get("crop", 224))
+    ft_n = int(feature_tta.get("n_crops", 10))
+    if ft_n not in (5, 10):
+        raise ValueError("feature_tta n_crops must be 5 or 10")
+
+    def apply_feature(base_s8):
+        b, s, s2_, _ = base_s8.shape
+        if s != s2_:
+            raise ValueError("feature TTA expects square base images")
+        trunk_in = base_s8
+        if ft_n == 10:
+            # mirror trunk pass: flip(crop(x)) windows == same-offset
+            # windows of trunk(flip(x)) (the offset set is mirror-closed)
+            trunk_in = jnp.concatenate(
+                [base_s8, base_s8[:, :, ::-1, :]], axis=0)
+        x = stem_fn(trunk_in)
+        for blocks in block_fns[:-1]:
+            for blk in blocks:
+                x = blk(x)
+        g = x.shape[1]                    # feature grid (stride s // g)
+        stride = s // g
+        if ft_crop % stride or (s - ft_crop) % (2 * stride):
+            raise ValueError(
+                f"feature TTA needs crop {ft_crop} and base {s} aligned "
+                f"to 2x the layer3 stride ({stride})")
+        w = ft_crop // stride
+        m = g - w
+        offs = [(0, 0), (0, m), (m, 0), (m, m), (m // 2, m // 2)]
+        u = x[:b]
+        windows = [u[:, r:r + w, c:c + w] for r, c in offs]
+        if ft_n == 10:
+            f = x[b:]
+            windows += [f[:, r:r + w, c:c + w] for r, c in offs]
+        xc = jnp.stack(windows, axis=1)   # (b, n_crops, w, w, C)
+        xc = xc.reshape((b * ft_n,) + xc.shape[2:])
+        for blk in block_fns[-1]:
+            xc = blk(xc)
+        return head_logits(xc)
+
+    return apply_feature
+
+
+def build_int8_apply_dynamic(qnet, n_classes=None, feature_tta=None):
+    """Like `build_int8_apply`, but activation scales are a CALL-TIME
+    argument: returns `apply(images_s8, act_scales)` with `act_scales` a
+    {site: f32 scalar} dict (jit pytree). The requant multipliers become
+    a handful of on-device scalar ops — negligible next to the convs —
+    and ONE compiled graph serves every calibration setting. This is what
+    lets the quantization study sweep stat x headroom without paying a
+    multi-minute XLA compile per configuration (and lets a server
+    hot-swap scales without recompiling)."""
+
+    def apply(images_s8, act_scales):
+        scales = {k: jnp.asarray(v, jnp.float32)
+                  for k, v in act_scales.items()}
+        return build_int8_apply(qnet, scales, n_classes=n_classes,
+                                feature_tta=feature_tta)(images_s8)
+
     return apply
+
+
+def make_sampling_calibration_fn(variables, arch="resnet50", eps=1e-5,
+                                 n_cap=1 << 17):
+    """Jittable `f(images_norm_f32) -> {site: (absmax, sample_vec)}`:
+    one fp32 calibration pass records BOTH the exact absmax and a
+    deterministic stride-subsample of |x| (<= n_cap elements) at every
+    requant site. Host code then derives absmax/p999/p9999 scales at any
+    headroom from the SAME records (`derive_scales`) — one compile for
+    the whole statistic sweep, vs one per stat with `calibrate`."""
+
+    def record(x):
+        flat = jnp.abs(x.reshape(-1))
+        step = max(1, flat.shape[0] // n_cap)
+        return (jnp.max(flat), flat[::step])
+
+    return _make_traversal_fn(variables, arch, eps, record)
+
+
+def calibrate_samples(variables, batches_u8, arch="resnet50", eps=1e-5,
+                      n_crops=10, crop=224, n_cap=1 << 17,
+                      pool_cap=1 << 20):
+    """Run the sampling calibration over uint8 base-image batches.
+
+    Returns `{site: (absmax float, pooled |x| sample np.ndarray)}`.
+    Per-site pools are capped at `pool_cap` elements by stride-halving
+    (deterministic), so memory stays bounded for any calibration-set
+    size while percentiles remain estimates of the GLOBAL distribution
+    across all batches."""
+    from ..ingest.pipeline import eval_pipeline
+
+    f = jax.jit(make_sampling_calibration_fn(variables, arch, eps,
+                                             n_cap=n_cap))
+    amax: dict = {}
+    pools: dict = {}
+    for u8 in batches_u8:
+        crops = eval_pipeline(jnp.asarray(u8), n_crops=n_crops, crop=crop,
+                              dtype=jnp.float32)
+        rec = jax.device_get(f(crops))
+        for k, (m, vec) in rec.items():
+            amax[k] = max(amax.get(k, 0.0), float(m))
+            pool = np.concatenate([pools[k], vec]) if k in pools else vec
+            while pool.size > pool_cap:
+                pool = pool[::2]
+            pools[k] = pool
+    if not amax:
+        raise ValueError("calibrate_samples() needs at least one batch")
+    return {k: (amax[k], pools[k]) for k in amax}
+
+
+def derive_scales(samples, stat="absmax", headroom=1.0):
+    """{site: (absmax, pooled sample)} -> {site: scale} for one
+    (stat, headroom) setting. 'absmax' uses the exact recorded max;
+    percentiles come from the pooled cross-batch sample."""
+    if stat == "absmax":
+        vals = {k: m for k, (m, _) in samples.items()}
+    elif stat in ("p999", "p9999"):
+        q = 0.999 if stat == "p999" else 0.9999
+        vals = {k: float(np.quantile(pool, q)) if pool.size else 0.0
+                for k, (_, pool) in samples.items()}
+    else:
+        raise ValueError(f"unknown calibration stat {stat!r}")
+    return {k: v / _QMAX * headroom if v > 0 else 1.0
+            for k, v in vals.items()}
 
 
 def build_int8_pipeline(variables, calib_batches_u8, arch="resnet50",

@@ -39,7 +39,11 @@ class Trainer:
                  log_fn=print):
         self.config = config
         self.tp = config.train_params
-        self.log = log_fn
+        # Multi-process runtime (parallel/multihost.py): every host runs
+        # this same Trainer; host 0 owns logging + checkpoint writes.
+        self.n_procs = jax.process_count()
+        self.proc_id = jax.process_index()
+        self.log = log_fn if self.proc_id == 0 else (lambda *_: None)
         paths = resolve_partitioning_paths(
             config.model_params.partitionings.files, list(search_dirs)
         )
@@ -52,6 +56,18 @@ class Trainer:
         self.layout = layout or make_mesh(
             *(self.tp.mesh_shape or (None,))
         )
+        if self.n_procs > 1:
+            from ..parallel.multihost import data_axis_is_process_contiguous
+
+            # LockstepSlicer hands each process contiguous rows of the
+            # global batch; the mesh's data axis must map processes the
+            # same way or make_array_from_process_local_data would pair
+            # rows with the wrong hosts.
+            if not data_axis_is_process_contiguous(self.layout.mesh):
+                raise RuntimeError(
+                    "multi-process mesh data axis is not process-"
+                    "contiguous; build the mesh from process-sorted "
+                    "devices")
         self.model = model_from_config(config, self.partitionings)
         # Without validation data every checkpoint is metric-less and
         # best-val-loss retention would keep all of them forever; fall
@@ -64,8 +80,17 @@ class Trainer:
         from ..utils.logging import MetricsLogger
 
         # CSV + TensorBoard mirror of everything printed (SURVEY.md §5).
-        self.metrics = MetricsLogger(self.tp.checkpoint_dir,
-                                     stdout=lambda s: None)
+        # Host 0 only: N processes appending to one metrics.csv would
+        # interleave rows.
+        if self.proc_id == 0:
+            self.metrics = MetricsLogger(self.tp.checkpoint_dir,
+                                         stdout=lambda s: None)
+        else:
+            class _Null:
+                def log(self, *a, **k):
+                    pass
+
+            self.metrics = _Null()
 
     # -- state --------------------------------------------------------------
 
@@ -97,22 +122,23 @@ class Trainer:
             tx=state.tx,
             apply_fn=state.apply_fn,
         )
-        return jax.tree.map(
-            lambda x, s: jax.device_put(x, s),
-            state, shardings,
-        )
+        from ..parallel.multihost import global_put_tree
+
+        return global_put_tree(state, shardings)
 
     def maybe_resume(self, state: TrainState) -> TrainState:
         latest = self.ckpt.latest_step()
         if latest is None:
             return state
         self.log(f"resuming from step {latest}")
+        from ..parallel.multihost import host_local_tree
+
         restored = self.ckpt.restore(
             latest,
             template={
-                "params": jax.device_get(state.params),
-                "batch_stats": jax.device_get(state.batch_stats),
-                "opt_state": jax.device_get(state.opt_state),
+                "params": host_local_tree(state.params),
+                "batch_stats": host_local_tree(state.batch_stats),
+                "opt_state": host_local_tree(state.opt_state),
                 "step": 0,
             },
         )
@@ -134,7 +160,7 @@ class Trainer:
                 self.config.model_params.partitionings.shortnames,
                 with_scene=True,
             )
-        return ShardBatcher(
+        batcher = ShardBatcher(
             patterns,
             batch_size=self.tp.batch_size,
             partitionings=None if label_map else self.partitionings,
@@ -147,7 +173,40 @@ class Trainer:
             # validation (shuffle=False) must not double-count tile-padded
             # duplicates in val_loss / GCD accuracy
             mask_padding=not shuffle,
+            # multi-process: every host materializes IDENTICAL global
+            # batches (same shards, same seed) and keeps its slice below
+            # — single-host semantics preserved exactly, equal batch
+            # counts on every host (no collective deadlock)
+            host_id=0,
+            host_count=1,
         )
+        if self.n_procs > 1:
+            from ..parallel.multihost import LockstepSlicer
+
+            return LockstepSlicer(batcher, self.proc_id, self.n_procs)
+        return batcher
+
+    # -- device feed --------------------------------------------------------
+
+    def _feed(self, arr, sharding, batch_axis=0):
+        """Host batch -> device array. Single-process: plain transfer.
+        Multi-process: this host's rows -> one GLOBAL jax.Array
+        (parallel/multihost.py)."""
+        if self.n_procs == 1:
+            return jnp.asarray(arr)
+        from ..parallel.multihost import global_batch_array
+
+        return global_batch_array(sharding, np.asarray(arr), batch_axis,
+                                  self.n_procs)
+
+    def _feed_images(self, arr):
+        return self._feed(arr, self.layout.batch())
+
+    def _feed_labels(self, arr):
+        return self._feed(arr, self.layout.labels(), batch_axis=1)
+
+    def _feed_vec(self, arr):
+        return self._feed(arr, self.layout.batch())
 
     # -- validation ---------------------------------------------------------
 
@@ -163,27 +222,30 @@ class Trainer:
                 scene = batch.scene if batch.scene is not None \
                     else np.full(batch.images.shape[0], -1, np.int32)
                 metrics, logits = eval_step_fn(
-                    state, jnp.asarray(batch.images),
-                    jnp.asarray(batch.labels), jnp.asarray(scene),
+                    state, self._feed_images(batch.images),
+                    self._feed_labels(batch.labels),
+                    self._feed_vec(scene),
                 )
                 scene_correct += int(metrics["scene_correct"])
                 scene_total += int(metrics["scene_total"])
             else:
                 metrics, logits = eval_step_fn(
-                    state, jnp.asarray(batch.images),
-                    jnp.asarray(batch.labels),
+                    state, self._feed_images(batch.images),
+                    self._feed_labels(batch.labels),
                 )
             losses.append(float(metrics["val_loss"]))
             if batch.latlng is not None:
                 _, plat, plng = predict_hierarchical(list(logits),
                                                      self.harrays)
                 known = ~np.isnan(batch.latlng[:, 0])
-                if known.any():
+                # multi-process: known.any() may differ per host — the
+                # device counts must still be computed in lockstep
+                if known.any() or self.n_procs > 1:
                     counts, total = gcd_threshold_counts(
                         plat, plng,
-                        jnp.asarray(batch.latlng[:, 0]),
-                        jnp.asarray(batch.latlng[:, 1]),
-                        valid=jnp.asarray(known),
+                        self._feed_vec(batch.latlng[:, 0]),
+                        self._feed_vec(batch.latlng[:, 1]),
+                        valid=self._feed_vec(known),
                     )
                     gcd.update(counts, total)
         out = {"val_loss": float(np.mean(losses)) if losses else float("nan")}
@@ -241,8 +303,10 @@ class Trainer:
         else:
             eval_fn = make_jitted_eval_step(self.layout, crop=tp.image_size,
                                             dtype=self.model.dtype)
-        rng = jax.device_put(jax.random.PRNGKey(tp.seed),
-                             self.layout.replicated())
+        from ..parallel.multihost import global_put_tree
+
+        rng = global_put_tree(jax.random.PRNGKey(tp.seed),
+                              self.layout.replicated())
 
         if tp.profile_dir:
             jax.profiler.start_trace(tp.profile_dir)
@@ -277,17 +341,17 @@ class Trainer:
                         scene = batch.scene if batch.scene is not None \
                             else np.full(batch.images.shape[0], -1, np.int32)
                         state, metrics = train_fn(
-                            state, jnp.asarray(batch.images),
-                            jnp.asarray(batch.labels), jnp.asarray(scene),
-                            rng,
+                            state, self._feed_images(batch.images),
+                            self._feed_labels(batch.labels),
+                            self._feed_vec(scene), rng,
                         )
                     else:
                         state, metrics = train_fn(
-                            state, jnp.asarray(batch.images),
-                            jnp.asarray(batch.labels), rng,
+                            state, self._feed_images(batch.images),
+                            self._feed_labels(batch.labels), rng,
                         )
                     step += 1
-                    images_seen += batch.images.shape[0]
+                    images_seen += batch.images.shape[0] * self.n_procs
                     if step % tp.log_every_steps == 0 or step == total_steps:
                         loss = float(metrics["loss"])
                         dt = time.time() - t0
@@ -363,14 +427,22 @@ class Trainer:
             {"val_loss": val_metrics["val_loss"]}
             if "val_loss" in val_metrics else None
         )
+        from ..parallel.multihost import host_local_tree
+
+        # every process participates: the fetch may all-gather leaves
+        # sharded across hosts (a collective), and orbax's multihost
+        # coordination expects save() on all processes (its internal
+        # barriers would deadlock a lone writer). Only the hparams
+        # snapshot is host-0-only (plain file write, no barrier).
+        host_state = {
+            "params": host_local_tree(state.params),
+            "batch_stats": host_local_tree(state.batch_stats),
+            "opt_state": host_local_tree(state.opt_state),
+            "step": step,
+        }
         self.ckpt.save(
             step,
-            {
-                "params": jax.device_get(state.params),
-                "batch_stats": jax.device_get(state.batch_stats),
-                "opt_state": jax.device_get(state.opt_state),
-                "step": step,
-            },
+            host_state,
             metrics=metrics,
-            config=self.config,
+            config=self.config if self.proc_id == 0 else None,
         )

@@ -15,9 +15,11 @@ backward -> SGD step, with DDP all-reduce on multi-GPU. TPU-native design:
   * BN statistics are global-batch by construction: the step is one jit
     over the whole (sharded) batch with replicated batch_stats outputs, so
     XLA inserts the cross-shard mean itself — there is no separate sync
-    step, and none is needed as long as training stays single-controller
-    GSPMD (this framework's only supported mode; multi-controller pmap is
-    not a code path here).
+    step. This holds in BOTH runtimes: single-controller GSPMD (one
+    process, any local mesh) and the multi-controller runtime
+    (parallel/multihost.py — every host runs this same jit over the
+    global mesh; the semantics of the step are identical because the
+    shardings are).
 """
 
 from __future__ import annotations

@@ -139,3 +139,190 @@ def test_isn_e2e_scene_world(tmp_path):
     # often than the 1-in-4 chance line
     assert val["scene_acc"] >= 0.95, val
     assert val["gcd@200km"] >= 0.45, val
+
+
+def _extract_features(model, variables, images_u8, crop=64, batch=32):
+    """Frozen-backbone features for uint8 base images (center crop)."""
+    from geoestimation_tpu.ingest.pipeline import center_crop, normalize
+
+    @jax.jit
+    def feats(x):
+        return model.apply(variables, normalize(center_crop(x, crop),
+                                                jnp.float32),
+                           train=False, method="features")
+
+    out = []
+    for s in range(0, len(images_u8), batch):
+        out.append(np.asarray(feats(jnp.asarray(images_u8[s:s + batch]))))
+    return np.concatenate(out)
+
+
+@pytest.mark.slow
+def test_frozen_backbone_routed_beats_shared(tmp_path):
+    """Round-3 (VERDICT next #6): the STABLE e2e discriminator. Pretrain
+    the ISN model on the scene world, FREEZE the backbone, and retrain
+    both head types from scratch on the same frozen features: the
+    per-scene routed head solves the (scene + cue) % 4 location law, the
+    single shared linear head provably cannot (additive in its inputs) —
+    with real learned features instead of the synthetic one-hots of
+    test_routed_heads_beat_shared_head_when_scenes_separable."""
+    from tools.make_demo_world import main as make_world
+
+    world = str(tmp_path / "scene_world")
+    make_world([
+        "--output", world, "--n_train", "240", "--n_eval", "48",
+        "--image_size", "64", "--arch", "resnet14", "--scene_world",
+    ])
+    from geoestimation_tpu.train.loop import Trainer
+    from geoestimation_tpu.utils.config import load_config
+
+    config = load_config(os.path.join(world, "isn.yml"))
+    trainer = Trainer(config, search_dirs=[world])
+    state = trainer.fit(max_steps=60, resume=False)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+    # training examples (images + city label + scene) from the shards
+    from geoestimation_tpu.data.loader import ShardBatcher, load_label_csv
+
+    label_map, scene_map = load_label_csv(
+        os.path.join(world, "train_labels.csv"),
+        ["coarse", "middle", "fine"], with_scene=True)
+    batcher = ShardBatcher(
+        [os.path.join(world, "shards", "*.msgpack")], batch_size=48,
+        label_map=label_map, scene_map=scene_map, shuffle=False,
+        repeat=False, num_workers=2, mask_padding=True)
+    imgs, fines, scenes, lls = [], [], [], []
+    for b in batcher:
+        keep = b.labels[0] >= 0
+        imgs.append(b.images[keep])
+        fines.append(b.labels[-1][keep])
+        scenes.append(b.scene[keep])
+        lls.append(b.latlng[keep])
+    imgs = np.concatenate(imgs)
+    fines = np.concatenate(fines).astype(np.int32)
+    scenes = np.concatenate(scenes).astype(np.int32)
+    xtr = _extract_features(trainer.model, variables, imgs)
+
+    # eval examples: images + true latlng + true scene from eval_meta
+    import pandas as pd
+
+    from geoestimation_tpu.data.image_folder import iter_image_folder
+
+    meta = pd.read_csv(os.path.join(world, "eval_meta.csv"))
+    gt = {r.IMG_ID: (r.LAT, r.LON, int(r.S3_Label))
+          for r in meta.itertuples()}
+    eimgs, elat, elng = [], [], []
+    for fb in iter_image_folder(os.path.join(world, "eval_images"),
+                                batch_size=16):
+        for i, img_id in enumerate(fb.ids):
+            if fb.valid[i]:
+                eimgs.append(fb.images[i])
+                la, ln, _ = gt[img_id]
+                elat.append(la)
+                elng.append(ln)
+    xte = _extract_features(trainer.model, variables, np.stack(eimgs))
+    elat, elng = np.asarray(elat), np.asarray(elng)
+
+    # head training on FROZEN features (same budget both ways)
+    fine_part = trainer.partitionings[-1]
+    n_fine = len(fine_part)
+    n_scenes = 3
+    d = xtr.shape[1]
+    xtr_j = jnp.asarray(xtr)
+    fines_j = jnp.asarray(fines)
+
+    def ce(logits, y):
+        lp = jax.nn.log_softmax(logits, -1)
+        return -jnp.take_along_axis(lp, y[:, None], 1).mean()
+
+    shared = _train_linear(
+        {"w": jnp.zeros((d, n_fine)), "b": jnp.zeros(n_fine)},
+        lambda p: ce(xtr_j @ p["w"] + p["b"], fines_j),
+        steps=250, lr=0.05)
+
+    def routed_logits(p, x, scene):
+        flat = (x @ p["w"] + p["b"]).reshape(-1, n_scenes, n_fine)
+        gate = jax.nn.one_hot(scene, n_scenes, dtype=jnp.float32)
+        return jnp.einsum("bsc,bs->bc", flat, gate)
+
+    routed = _train_linear(
+        {"w": jnp.zeros((d, n_scenes * n_fine)),
+         "b": jnp.zeros(n_scenes * n_fine)},
+        lambda p: ce(routed_logits(p, xtr_j, jnp.asarray(scenes)),
+                     fines_j),
+        steps=250, lr=0.05)
+    scene_head = _train_linear(
+        {"w": jnp.zeros((d, n_scenes)), "b": jnp.zeros(n_scenes)},
+        lambda p: ce(xtr_j @ p["w"] + p["b"], jnp.asarray(scenes)),
+        steps=250, lr=0.05)
+
+    def acc200(cls):
+        from tools.quant_study import haversine_km
+
+        dist = haversine_km(fine_part.lat[cls], fine_part.lng[cls],
+                            elat, elng)
+        return float((dist <= 200.0).mean())
+
+    xte_j = jnp.asarray(xte)
+    shared_cls = np.asarray(
+        jnp.argmax(xte_j @ shared["w"] + shared["b"], -1))
+    pred_scene = jnp.argmax(xte_j @ scene_head["w"] + scene_head["b"], -1)
+    routed_cls = np.asarray(
+        jnp.argmax(routed_logits(routed, xte_j, pred_scene), -1))
+    shared_acc = acc200(shared_cls)
+    routed_acc = acc200(routed_cls)
+    # the shared linear head cannot express the scene x cue interaction;
+    # routed heads can — a stable margin on frozen features
+    assert routed_acc >= 0.60, (routed_acc, shared_acc)
+    assert routed_acc >= shared_acc + 0.15, (routed_acc, shared_acc)
+
+
+@pytest.mark.slow
+def test_isn_texture_scene_world(tmp_path):
+    """Round-3 (VERDICT next #6): scene routing on a world where scenes
+    are TEXTURE-defined (checker / plaid / low-frequency blobs), not
+    color-separable. The scene head must still learn the routing signal,
+    and the reported confusion matrix must be diagonal-dominant."""
+    from tools.make_demo_world import main as make_world
+
+    world = str(tmp_path / "tex_world")
+    make_world([
+        "--output", world, "--n_train", "240", "--n_eval", "48",
+        "--image_size", "64", "--arch", "resnet14", "--scene_world",
+        "--style", "textured", "--scene_style", "texture",
+    ])
+    from geoestimation_tpu.train.loop import Trainer
+    from geoestimation_tpu.utils.config import load_config
+
+    config = load_config(os.path.join(world, "isn.yml"))
+    trainer = Trainer(config, search_dirs=[world])
+    state = trainer.fit(max_steps=90, resume=False)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+    import pandas as pd
+
+    from geoestimation_tpu.data.image_folder import iter_image_folder
+    from geoestimation_tpu.ingest.pipeline import center_crop, normalize
+
+    meta = pd.read_csv(os.path.join(world, "eval_meta.csv"))
+    gt_scene = {r.IMG_ID: int(r.S3_Label) for r in meta.itertuples()}
+
+    @jax.jit
+    def scene_of(x):
+        scene_logits, _ = trainer.model.apply(
+            variables, normalize(center_crop(x, 64), jnp.float32),
+            train=False, method="with_scene")
+        return jnp.argmax(scene_logits, -1)
+
+    confusion = np.zeros((3, 3), np.int64)
+    for fb in iter_image_folder(os.path.join(world, "eval_images"),
+                                batch_size=16):
+        pred = np.asarray(scene_of(jnp.asarray(fb.images)))
+        for i, img_id in enumerate(fb.ids):
+            if fb.valid[i]:
+                confusion[gt_scene[img_id], pred[i]] += 1
+    acc = confusion.trace() / confusion.sum()
+    print(f"texture-scene confusion (rows=true):\n{confusion}")
+    assert acc >= 0.8, (acc, confusion)
+    # diagonal-dominant: every true scene is most often itself
+    assert all(confusion[s].argmax() == s for s in range(3)), confusion

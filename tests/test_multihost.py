@@ -1,0 +1,169 @@
+"""Multi-process (multi-controller) training runtime.
+
+Round-3 (VERDICT next #3): the comm backend must not stop at
+single-controller GSPMD. These tests exercise parallel/multihost.py two
+ways: unit-level (LockstepSlicer slicing semantics, process-contiguity
+check) and end-to-end — two coordinator-connected CPU processes (4
+virtual devices each) train the demo config through the REAL
+`classification.train_base --coordinator` CLI and must produce the same
+final parameters as one process with the same 8-device global mesh on
+the same data.
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+class TestLockstepSlicer:
+    def test_slices_partition_global_batch(self):
+        from geoestimation_tpu.data.loader import TrainBatch
+        from geoestimation_tpu.parallel.multihost import LockstepSlicer
+
+        class FakeBatcher:
+            batch_size = 8
+
+            def __iter__(self):
+                rng = np.random.default_rng(0)
+                for _ in range(3):
+                    yield TrainBatch(
+                        images=rng.integers(0, 255, (8, 4, 4, 3),
+                                            dtype=np.uint8),
+                        labels=rng.integers(0, 5, (3, 8)).astype(np.int32),
+                        ids=[f"i{k}" for k in range(8)],
+                        latlng=rng.normal(size=(8, 2)).astype(np.float32),
+                        scene=np.arange(8, dtype=np.int32),
+                    )
+
+        b0 = list(LockstepSlicer(FakeBatcher(), 0, 2))
+        b1 = list(LockstepSlicer(FakeBatcher(), 1, 2))
+        full = list(FakeBatcher())
+        assert len(b0) == len(b1) == len(full)
+        for s0, s1, f in zip(b0, b1, full):
+            np.testing.assert_array_equal(
+                np.concatenate([s0.images, s1.images]), f.images)
+            np.testing.assert_array_equal(
+                np.concatenate([s0.labels, s1.labels], axis=1), f.labels)
+            np.testing.assert_array_equal(
+                np.concatenate([s0.latlng, s1.latlng]), f.latlng)
+            np.testing.assert_array_equal(
+                np.concatenate([s0.scene, s1.scene]), f.scene)
+            assert s0.ids + s1.ids == f.ids
+
+    def test_rejects_indivisible_batch(self):
+        from geoestimation_tpu.parallel.multihost import LockstepSlicer
+
+        class B:
+            batch_size = 7
+
+        with pytest.raises(ValueError, match="divisible"):
+            LockstepSlicer(B(), 0, 2)
+
+
+def test_data_axis_process_contiguity_check():
+    """The 8-device single-process mesh is trivially contiguous."""
+    from geoestimation_tpu.parallel.mesh import make_mesh
+    from geoestimation_tpu.parallel.multihost import (
+        data_axis_is_process_contiguous,
+    )
+
+    layout = make_mesh(4, 2)
+    assert data_axis_is_process_contiguous(layout.mesh)
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def _run_training(world, ckpt_dir, n_devices, distributed=None, env=None,
+                  timeout=1500):
+    """Spawn `classification.train_base` as a subprocess on the CPU
+    platform with `n_devices` virtual devices."""
+    cmd = [sys.executable, "-m", "classification.train_base",
+           "--config", os.path.join(world, "demo.yml"),
+           "--checkpoint_dir", ckpt_dir, "--max_steps", "4", "--cpu",
+           "--no_resume"]
+    if distributed:
+        coord, n, pid = distributed
+        cmd += ["--coordinator", coord, "--num_processes", str(n),
+                "--process_id", str(pid)]
+    full_env = dict(os.environ)
+    full_env["XLA_FLAGS"] = (
+        f"--xla_force_host_platform_device_count={n_devices}")
+    full_env.pop("JAX_PLATFORMS", None)  # --cpu flag handles the platform
+    if env:
+        full_env.update(env)
+    return subprocess.Popen(cmd, cwd=REPO, env=full_env,
+                            stdout=subprocess.PIPE,
+                            stderr=subprocess.STDOUT, text=True)
+
+
+def _load_params(ckpt_dir):
+    sys.path.insert(0, REPO)
+    from geoestimation_tpu.train.checkpoint import load_for_inference
+
+    _, state = load_for_inference(ckpt_dir)
+    return state["params"]
+
+
+@pytest.mark.slow
+def test_two_process_training_matches_single(tmp_path):
+    """2 coordinator-connected processes x 4 virtual CPU devices ==
+    1 process x 8 devices: same data, same seeds, same global mesh ->
+    same final parameters (loss trajectory identity follows)."""
+    world = str(tmp_path / "world")
+    from tools.make_demo_world import main as make_world
+
+    make_world(["--output", world, "--n_train", "48", "--n_eval", "8",
+                "--image_size", "64", "--arch", "resnet14"])
+    # shrink batch so 4 steps span >1 batch
+    import yaml
+
+    cfg_path = os.path.join(world, "demo.yml")
+    cfg = yaml.safe_load(open(cfg_path))
+    cfg["train_params"]["batch_size"] = 8
+    cfg["train_params"]["num_workers"] = 2
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f, sort_keys=False)
+
+    # single-process reference (8-device mesh)
+    single_dir = str(tmp_path / "ckpt_single")
+    p = _run_training(world, single_dir, n_devices=8)
+    out, _ = p.communicate(timeout=1500)
+    assert p.returncode == 0, out[-4000:]
+
+    # two processes, 4 devices each (8-device global mesh)
+    coord = f"127.0.0.1:{_free_port()}"
+    multi_dir = str(tmp_path / "ckpt_multi")
+    p0 = _run_training(world, multi_dir, n_devices=4,
+                       distributed=(coord, 2, 0))
+    p1 = _run_training(world, multi_dir, n_devices=4,
+                       distributed=(coord, 2, 1))
+    out0, _ = p0.communicate(timeout=1500)
+    out1, _ = p1.communicate(timeout=1500)
+    assert p0.returncode == 0, out0[-4000:]
+    assert p1.returncode == 0, out1[-4000:]
+
+    ref = _load_params(single_dir)
+    got = _load_params(multi_dir)
+    import jax
+
+    leaves_ref, tdef_ref = jax.tree.flatten(ref)
+    leaves_got, tdef_got = jax.tree.flatten(got)
+    assert tdef_ref == tdef_got
+    worst = max(
+        float(np.max(np.abs(np.asarray(a, np.float32)
+                            - np.asarray(b, np.float32))))
+        for a, b in zip(leaves_ref, leaves_got))
+    assert worst < 5e-3, f"param divergence {worst}"

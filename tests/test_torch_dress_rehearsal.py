@@ -55,7 +55,7 @@ IMAGENET_STD = (0.229, 0.224, 0.225)
 # ---------------------------------------------------------------------------
 
 
-def make_torch_params(n_classes):
+def make_torch_params(n_classes, stages=STAGES):
     def t(shape, scale=0.05, grad=True):
         x = torch.tensor(RNG.normal(0, scale, shape).astype(np.float32))
         x.requires_grad_(grad)
@@ -74,7 +74,7 @@ def make_torch_params(n_classes):
     sd["conv1.weight"] = t((64, 3, 7, 7))
     add_bn("bn1", 64)
     cin = 64
-    for stage, n_blocks in enumerate(STAGES):
+    for stage, n_blocks in enumerate(stages):
         cmid = 64 * (2 ** stage)
         cout = cmid * 4
         for b in range(n_blocks):
@@ -95,7 +95,7 @@ def make_torch_params(n_classes):
     return sd
 
 
-def torch_forward(sd, x, training=False):
+def torch_forward(sd, x, training=False, stages=STAGES):
     import torch.nn.functional as F
 
     def bn(v, p):
@@ -108,7 +108,7 @@ def torch_forward(sd, x, training=False):
     v = F.conv2d(x, sd["conv1.weight"], stride=2, padding=3)
     v = F.relu(bn(v, "bn1"))
     v = F.max_pool2d(v, 3, stride=2, padding=1)
-    for stage, n_blocks in enumerate(STAGES):
+    for stage, n_blocks in enumerate(stages):
         for b in range(n_blocks):
             p = f"layer{stage + 1}.{b}"
             stride = 2 if stage > 0 and b == 0 else 1
@@ -143,7 +143,8 @@ def color_targets(parts):
     ]
 
 
-def train_torch(sd, n_classes, targets=None, steps=5, batch=4, size=96):
+def train_torch(sd, n_classes, targets=None, steps=5, batch=4, size=96,
+                stages=STAGES):
     """Real SGD steps (live BN running-stat updates). Default: random
     data/labels — the point is a checkpoint whose BN statistics and
     heads are not at init. With `targets` (per-head class per color
@@ -179,7 +180,7 @@ def train_torch(sd, n_classes, targets=None, steps=5, batch=4, size=96):
                 torch.tensor(np.asarray([t[c] for c in cls], np.int64))
                 for t in targets
             ]
-        logits = torch_forward(sd, x, training=True)
+        logits = torch_forward(sd, x, training=True, stages=stages)
         loss = sum(F.cross_entropy(lg, lb) for lg, lb in zip(logits, labels))
         opt.zero_grad()
         loss.backward()
@@ -223,7 +224,8 @@ def haversine_km(lat1, lng1, lat2, lng2):
     return 2 * r * np.arcsin(np.sqrt(np.clip(a, 0, 1)))
 
 
-def torch_side_tables(sd, image_dir, meta, hierarchy, partitionings):
+def torch_side_tables(sd, image_dir, meta, hierarchy, partitionings,
+                      stages=STAGES, files=None):
     """The reference eval: ten-crop -> softmax-prob mean -> per-head argmax
     + f* -> GCD threshold accuracies. Returns {p_key: {thr: frac}}."""
     names = [p.name for p in partitionings] + ["hierarchy"]
@@ -231,12 +233,14 @@ def torch_side_tables(sd, image_dir, meta, hierarchy, partitionings):
     total = 0
     maps = [np.asarray(m) for m in hierarchy.maps]
     valid = np.asarray(hierarchy.valid)
-    files = sorted(os.listdir(image_dir))
+    if files is None:
+        files = sorted(os.listdir(image_dir))
     gt = {str(r.IMG_ID): (r.LAT, r.LON) for r in meta.itertuples()}
     for fname in files:
         crops = pil_tencrop(os.path.join(image_dir, fname))
         with torch.no_grad():
-            logits = torch_forward(sd, normalize_torch(crops))
+            logits = torch_forward(sd, normalize_torch(crops),
+                                   stages=stages)
         probs = [torch.softmax(lg, dim=-1).numpy().mean(0) for lg in logits]
         glat, glng = gt[fname]
         total += 1
@@ -409,3 +413,72 @@ def test_int8_tables_track_fp32_on_imported_checkpoint(world, geo_parts,
             assert abs(got[thr] - expect[thr]) <= tol, (
                 f"{p_key}@{thr}km: int8={got[thr]} fp32={expect[thr]}"
             )
+
+# ---------------------------------------------------------------------------
+# flagship-scale rehearsal (round-3, VERDICT weak #6)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.slow
+def test_full_cli_table_matches_torch_stack_resnet50(world, geo_parts):
+    """The SAME import -> `classification.test` table-parity proof at the
+    FLAGSHIP layout: resnet50 stages (3,4,6,3), full ten-crop host-exact
+    TTA, prob-mean fold. A 4-image eval subset keeps single-core CPU
+    time sane; table equality is still exact per threshold cell."""
+    root, cell_files, img_dir, meta_path, meta = world
+    stages = (3, 4, 6, 3)
+    n_classes = [len(p) for p in geo_parts]
+    sd = make_torch_params(n_classes, stages=stages)
+    train_torch(sd, n_classes, steps=2, batch=2, size=96, stages=stages)
+    ckpt_path = str(root / "epoch=004-val_loss=1.0_rn50.ckpt")
+    with torch.no_grad():
+        torch.save(
+            {"state_dict": {f"model.{k}": v.detach()
+                            for k, v in sd.items()},
+             "hyper_parameters": {"arch": "resnet50"}},
+            ckpt_path,
+        )
+    out_dir = str(root / "imported_rn50")
+    imp.main([
+        "--torch_ckpt", ckpt_path,
+        "--cell_files", *cell_files,
+        "--output", out_dir,
+        "--arch", "resnet50",
+    ])
+
+    # 4-image subset (same meta: extra rows are simply unused)
+    import shutil
+
+    sub = str(root / "images_rn50")
+    os.makedirs(sub, exist_ok=True)
+    files = sorted(os.listdir(img_dir))[:4]
+    for f in files:
+        shutil.copy(os.path.join(img_dir, f), os.path.join(sub, f))
+
+    from classification.test import main as test_main
+
+    all_results = test_main([
+        "--checkpoint", out_dir,
+        "--image_dirs", sub,
+        "--meta_files", meta_path,
+        "--cpu", "--precision", "32", "--crops", "10",
+        "--exact_tta", "--tta_fold", "prob_mean",
+        "--batch_size", "4",
+    ])
+    ours = all_results[os.path.basename(sub)]
+
+    from geoestimation_tpu.geo import Hierarchy
+
+    hierarchy = Hierarchy.build(geo_parts)
+    theirs = torch_side_tables(sd, sub, meta, hierarchy, geo_parts,
+                               stages=stages, files=files)
+    assert "_n_images_without_meta" not in ours
+    for p_key, expect in theirs.items():
+        got = {float(k): v for k, v in ours[p_key].items()}
+        for thr in THRESHOLDS:
+            assert got[thr] == expect[thr], (
+                f"{p_key}@{thr}km: ours={got[thr]} torch={expect[thr]}"
+            )
+    vals = [theirs[k][t] for k in theirs for t in THRESHOLDS]
+    assert any(v > 0.0 for v in vals), theirs
+    assert any(v < 1.0 for v in vals), theirs

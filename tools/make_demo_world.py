@@ -38,6 +38,86 @@ CITIES = [
 ]
 
 
+def _upsample_f32(n, w, h):
+    """Bilinear-upsample a (gh, gw) float grid to (h, w) via PIL."""
+    return np.asarray(
+        Image.fromarray(n.astype(np.float32), mode="F").resize(
+            (w, h), Image.BILINEAR))
+
+
+def textured_image(rng, scene, cue, w=320, h=280, scene_style="color"):
+    """Varied, natural-image-like synthetic image for the quantization
+    study (round-3): multi-octave noise background (1/f-ish spectrum),
+    random luminance gradients, per-image contrast jitter, and sparse
+    high-contrast blobs that stress absmax activation calibration — not
+    the 8-color-blob look of `scene_image`.
+
+    The learnable signals match `scene_image`'s law: cue bit0 -> fine
+    vertical stripes, bit1 -> horizontal stripes (flip-safe for ten-crop
+    TTA), scene -> a global color cast (scene_style='color') or a
+    TEXTURE family (scene_style='texture': 0 = fine checkerboard,
+    1 = plaid/diagonal cross-hatch, 2 = smooth low-frequency blobs —
+    all flip- and crop-invariant, none color-separable; the round-3 ISN
+    discriminator world, VERDICT next #6)."""
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    base = np.full((h, w, 3), 120.0, np.float32)
+    # multi-octave noise background
+    for g, amp in [(4, 55), (8, 30), (16, 18), (48, 10)]:
+        for c in range(3):
+            base[..., c] += amp * _upsample_f32(
+                rng.normal(0, 1, (g, g)), w, h)
+    # global luminance gradient, random direction and strength
+    theta = rng.uniform(0, 2 * np.pi)
+    grad = np.cos(theta) * xx / w + np.sin(theta) * yy / h
+    base += rng.uniform(5, 45) * (grad - grad.mean())[..., None]
+    # geo cue: sinusoidal stripes, short fixed period (survives crops)
+    period = max(6, w // 14)
+    amp = rng.uniform(28, 48)
+    phase = rng.uniform(0, 2 * np.pi)
+    if cue & 1:
+        base += amp * np.sin(2 * np.pi * xx / period + phase)[..., None]
+    if cue & 2:
+        base += amp * np.sin(2 * np.pi * yy / period + phase)[..., None]
+    # scene: global color cast (learnable stand-in for Places365-S3),
+    # or a texture family when scenes must NOT be color-separable
+    if scene_style == "color":
+        cast = [(22.0, 2.0, -14.0), (-12.0, 18.0, -10.0),
+                (-8.0, -2.0, 20.0)][scene % 3]
+        base += np.asarray(cast, np.float32)
+    else:
+        samp = rng.uniform(22, 34)
+        sph = rng.uniform(0, 2 * np.pi)
+        if scene % 3 == 0:     # fine checkerboard
+            p = max(4, w // 40)
+            base += samp * (np.sign(np.sin(2 * np.pi * xx / p + sph))
+                            * np.sign(np.sin(2 * np.pi * yy / p + sph))
+                            )[..., None]
+        elif scene % 3 == 1:   # plaid: both diagonals (flip-invariant)
+            p = max(6, w // 24)
+            base += samp * 0.7 * (
+                np.sin(2 * np.pi * (xx + yy) / p + sph)
+                + np.sin(2 * np.pi * (xx - yy) / p + sph))[..., None]
+        else:                  # smooth low-frequency blobs
+            for c in range(3):
+                base[..., c] += samp * _upsample_f32(
+                    rng.normal(0, 1, (3, 3)), w, h)
+    # sparse high-contrast blobs: activation outliers for calibration
+    for _ in range(int(rng.integers(0, 4))):
+        cx, cy = rng.integers(0, w), rng.integers(0, h)
+        r = float(rng.integers(8, 28))
+        d2 = (xx - cx) ** 2 + (yy - cy) ** 2
+        disk = np.exp(-d2 / (2 * (r / 2) ** 2))
+        val = float(rng.choice([-1.0, 1.0]) * rng.uniform(70, 140))
+        ch = int(rng.integers(0, 3))
+        base[..., ch] += val * disk
+    base += rng.normal(0, 5, (h, w, 3))
+    arr = np.clip(base, 0, 255)
+    buf = io.BytesIO()
+    Image.fromarray(arr.astype(np.uint8)).save(buf, format="JPEG",
+                                               quality=88)
+    return buf.getvalue()
+
+
 def scene_image(rng, scene, cue, w=320, h=280):
     """Synthetic image whose appearance encodes (scene, cue).
 
@@ -79,6 +159,18 @@ def main(argv=None):
     p.add_argument("--arch", default="resnet50",
                    help="backbone written into the configs (resnet14 for "
                         "fast CPU smoke runs)")
+    p.add_argument("--style", default="blobs",
+                   choices=["blobs", "textured"],
+                   help="image generator: 'blobs' = fast color-block "
+                        "images (round-1 demo), 'textured' = varied "
+                        "natural-spectrum images with outlier elements "
+                        "(round-3 quantization-study world)")
+    p.add_argument("--scene_style", default="color",
+                   choices=["color", "texture"],
+                   help="with --style textured: how the scene shows — "
+                        "'color' cast (easy) or 'texture' family "
+                        "(checker/plaid/blobs; NOT color-separable — "
+                        "the harder ISN scene world)")
     p.add_argument("--scene_world", action="store_true",
                    help="entangle location with (scene, stripe-cue): the "
                         "same visual cue means a different city per scene, "
@@ -107,6 +199,13 @@ def main(argv=None):
     # same stripes mean a different city per scene (per-scene heads can
     # express that linearly; a single shared head cannot).
     jw, jh = args.image_size + 40, args.image_size + 24
+    if args.style == "textured":
+        import functools
+
+        make_image = functools.partial(textured_image,
+                                       scene_style=args.scene_style)
+    else:
+        make_image = scene_image
 
     def make_example(i):
         scene = i % 3
@@ -145,7 +244,7 @@ def main(argv=None):
             scene, cue, lat, lng = examples[i]
             img_id = f"train_{i:05d}"
             recs.append({"id": img_id,
-                         "image": scene_image(rng, scene, cue, jw, jh),
+                         "image": make_image(rng, scene, cue, jw, jh),
                          "lat": float(lat), "lng": float(lng)})
             rows.append((img_id, labels[0, i], labels[1, i], labels[2, i],
                          scene))
@@ -166,11 +265,13 @@ def main(argv=None):
         scene, cue, lat, lng = make_example(i + 1)
         img_id = f"eval_{i:04d}.jpg"
         with open(os.path.join(eval_dir, img_id), "wb") as f:
-            f.write(scene_image(rng, scene, cue, jw, jh))
-        meta.append((img_id, float(lat), float(lng)))
-    pd.DataFrame(meta, columns=["IMG_ID", "LAT", "LON"]).to_csv(
-        os.path.join(root, "eval_meta.csv"), index=False
-    )
+            f.write(make_image(rng, scene, cue, jw, jh))
+        meta.append((img_id, float(lat), float(lng), scene))
+    # S3_Label: ground-truth scene per eval image (extra column; the
+    # required IMG_ID/LAT/LON surface is untouched) — lets ISN evals
+    # report scene confusion, reference README.md:209-210 convention
+    pd.DataFrame(meta, columns=["IMG_ID", "LAT", "LON", "S3_Label"]) \
+        .to_csv(os.path.join(root, "eval_meta.csv"), index=False)
 
     # configs: base + ISN recipe (same world; scene labels come from the
     # S3_Label column of train_labels.csv, reference README.md:209-210)

