@@ -195,14 +195,36 @@ def _measure(batch: int, iters: int) -> float:
                 os.replace(tmp, scales_path)
             except OSError:
                 pass
-        int8_apply = build_int8_apply(qnet, scales,
-                                      n_classes=REAL_CLASS_COUNTS)
+        if os.environ.get("BENCH_UNIFY_SCALES", "0") == "1":
+            # A/B lever: stage-unified residual scales make identity
+            # residual multipliers exactly 1.0 (XLA folds them away)
+            from geoestimation_tpu.models.quant import (
+                unify_stage_out_scales,
+            )
+            from geoestimation_tpu.models.resnet import STAGE_SIZES
+
+            scales = unify_stage_out_scales(scales,
+                                            STAGE_SIZES["resnet50"])
+        # BENCH_TTA=feature: feature-space ten-crop TTA (trunk once per
+        # base image + mirror, crops at the layer3 feature map —
+        # models/quant.py feature_tta docs; accuracy evidence:
+        # docs/QUANTIZATION.md study table).
+        feature_tta = os.environ.get("BENCH_TTA", "exact") == "feature"
+        int8_apply = build_int8_apply(
+            qnet, scales, n_classes=REAL_CLASS_COUNTS,
+            feature_tta=({"crop": 224, "n_crops": n_crops}
+                         if feature_tta else None))
 
         # NOTE: weights ride as jit closure constants (no variables arg) so
         # the compiled graph matches the A/B harness's cache entries.
         @jax.jit
         def forward_i8(images_u8):
-            x = eval_pipeline_s8(images_u8, n_crops=n_crops, crop=224)
+            if feature_tta:
+                from geoestimation_tpu.models.quant import shift_s8
+
+                x = shift_s8(images_u8)
+            else:
+                x = eval_pipeline_s8(images_u8, n_crops=n_crops, crop=224)
             logits = int8_apply(x)
             logits = [mean_tta_logits(l, n_crops) for l in logits]
             return predict_hierarchical(logits, harrays)
@@ -227,7 +249,22 @@ def _measure(batch: int, iters: int) -> float:
     # Pallas bottleneck kernels stay off: hardware A/B shows XLA's conv
     # emitter wins end to end (docs/PERF_NOTES.md round 2).
     fast = os.environ.get("BENCH_FAST", "0") == "1"
-    if fast:
+    if os.environ.get("BENCH_TTA", "exact") == "feature":
+        from geoestimation_tpu.ingest.pipeline import normalize
+        from geoestimation_tpu.models.fast_infer import (
+            build_feature_tta_apply,
+        )
+
+        ftta_apply = build_feature_tta_apply(
+            variables, "resnet50", n_classes=REAL_CLASS_COUNTS,
+            n_crops=n_crops)
+
+        @jax.jit
+        def forward(variables, images_u8):
+            logits = ftta_apply(normalize(images_u8, jnp.bfloat16))
+            logits = [mean_tta_logits(l, n_crops) for l in logits]
+            return predict_hierarchical(logits, harrays)
+    elif fast:
         from geoestimation_tpu.models.fast_infer import build_fast_apply
 
         fast_apply = build_fast_apply(
@@ -315,7 +352,9 @@ def main():
         batch = int(os.environ.get("BENCH_BATCH", "4"))
         iters = int(os.environ.get("BENCH_ITERS", "3"))
     else:
-        batch = int(os.environ.get("BENCH_BATCH", "64"))
+        # b=96 measured +0.6% over b=64 on the int8 path (round 3);
+        # int8 throughput is batch-linear, bf16 is batch-flat
+        batch = int(os.environ.get("BENCH_BATCH", "96"))
         iters = int(os.environ.get("BENCH_ITERS", "30"))
 
     try:
@@ -337,6 +376,7 @@ def main():
         "vs_baseline": round(per_chip / TARGET_PER_CHIP, 4),
         "platform": platform,
         "precision": os.environ.get("BENCH_PRECISION", "int8"),
+        "tta": os.environ.get("BENCH_TTA", "exact"),
     }
     if errors:
         result["error"] = " | ".join(errors)

@@ -218,6 +218,10 @@ def build_fast_apply(variables, arch="resnet50", n_classes=None,
     stem_pad_w = (2, 3) if mirror else (3, 3)
     pool_pad_w = (0, 1) if mirror else (1, 1)
 
+    import os as _os
+
+    pool_mode = _os.environ.get("GEO_POOL_MODE", "reduce_window")
+
     def stem_fn(images):
         x = images.astype(jnp.bfloat16)
         x = jax.lax.conv_general_dilated(
@@ -226,6 +230,10 @@ def build_fast_apply(variables, arch="resnet50", n_classes=None,
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         ) + stem_b.astype(jnp.bfloat16)
         x = jnp.maximum(x, 0).astype(jnp.bfloat16)
+        if pool_mode == "slices" and not mirror:
+            from .quant import max_pool_3x3_s2
+
+            return max_pool_3x3_s2(x, mode="slices").astype(jnp.bfloat16)
         return jax.lax.reduce_window(
             x, -jnp.inf, jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1),
             ((0, 0), (1, 1), pool_pad_w, (0, 0)),

@@ -73,6 +73,37 @@ def shift_s8(images_u8):
     return (images_u8.astype(jnp.int16) - 128).astype(jnp.int8)
 
 
+def max_pool_3x3_s2(y, mode="reduce_window"):
+    """3x3/stride-2 SAME max-pool, two formulations (bit-identical).
+
+    'reduce_window': the canonical XLA op — but it is a fusion barrier
+    (the stem's requant cannot fuse past it; docs/PERF_NOTES.md measured
+    stem+pool at ~4.4 ms of the 43 ms int8 step). 'slices': an
+    elementwise max over the 9 strided window taps of the -128-padded
+    input — pure slice+max, so XLA may fuse it with the stem's requant
+    producer. Hardware A/B knob: GEO_POOL_MODE."""
+    if mode == "reduce_window":
+        pad = jnp.asarray(-jnp.inf if jnp.issubdtype(y.dtype, jnp.floating)
+                          else jnp.iinfo(y.dtype).min, y.dtype)
+        return jax.lax.reduce_window(
+            y, pad, jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1),
+            ((0, 0), (1, 1), (1, 1), (0, 0)))
+    if mode != "slices":
+        raise ValueError(f"unknown pool mode {mode!r}")
+    b, h, w, c = y.shape
+    ho, wo = (h + 1) // 2, (w + 1) // 2
+    fill = (-jnp.inf if jnp.issubdtype(y.dtype, jnp.floating)
+            else jnp.iinfo(y.dtype).min)
+    yp = jnp.pad(y, ((0, 0), (1, 2), (1, 2), (0, 0)),
+                 constant_values=fill)
+    out = None
+    for i in range(3):
+        for j in range(3):
+            tap = yp[:, i:i + 2 * ho - 1:2, j:j + 2 * wo - 1:2]
+            out = tap if out is None else jnp.maximum(out, tap)
+    return out
+
+
 def quantize_model(variables, arch="resnet50", eps=1e-5):
     """Host-side fold + quantize. Returns the static quantized net dict
     (no activation scales yet — see `calibrate`)."""
@@ -433,6 +464,10 @@ def build_int8_apply(qnet, act_scales, n_classes=None, feature_tta=None):
         .reshape(4, 4, 2 * 2 * stem_q.shape[2], stem_q.shape[3]))
     pad_val = jnp.asarray(qnet["stem_pad_val"])  # (3,) int8
 
+    import os as _os
+
+    pool_mode = _os.environ.get("GEO_POOL_MODE", "reduce_window")
+
     def stem_fn(x_s8):
         b, h, w, c = x_s8.shape
         if h % 2 or w % 2:
@@ -452,9 +487,7 @@ def build_int8_apply(qnet, act_scales, n_classes=None, feature_tta=None):
         h_out, w_out = (h - 1) // 2 + 1, (w - 1) // 2 + 1
         y = _conv_s8(x2, stem_k4)[:, :h_out, :w_out]
         y = requant(y, stem_mult, stem_bias)
-        return jax.lax.reduce_window(
-            y, jnp.int8(-128), jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1),
-            ((0, 0), (1, 1), (1, 1), (0, 0)))
+        return max_pool_3x3_s2(y, mode=pool_mode)
 
     # --- blocks: prefold every multiplier ---
     stages = []
@@ -632,6 +665,25 @@ def build_int8_apply(qnet, act_scales, n_classes=None, feature_tta=None):
         return head_logits(xc)
 
     return apply_feature
+
+
+def unify_stage_out_scales(scales, stage_sizes):
+    """Set every block's `_out` scale within a stage to the stage max.
+
+    With equal residual-chain scales, each identity block's residual
+    multiplier `md = s_in / s_out` becomes exactly 1.0 — a constant XLA
+    folds out of the requant chain (the HBM-bound layer1/2 tails run ~9
+    VPU ops/element; docs/PERF_NOTES.md). Costs some resolution in
+    blocks whose activations are smaller than the stage max; accuracy
+    impact is measurable with tools/quant_study.py by transforming the
+    scales it derives."""
+    out = dict(scales)
+    for stage, n_blocks in enumerate(stage_sizes):
+        keys = [f"layer{stage + 1}_block{b}_out" for b in range(n_blocks)]
+        m = max(out[k] for k in keys)
+        for k in keys:
+            out[k] = m
+    return out
 
 
 def build_int8_apply_dynamic(qnet, n_classes=None, feature_tta=None):

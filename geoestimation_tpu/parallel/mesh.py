@@ -54,17 +54,32 @@ class MeshLayout:
     def replicated(self) -> NamedSharding:
         return NamedSharding(self.mesh, P())
 
-    def head_kernel(self) -> NamedSharding:
-        """Fused head kernel (feat, total_classes): shard classes on model
-        axis."""
+    def head_kernel(self, n_total: Optional[int] = None) -> NamedSharding:
+        """Fused head kernel (feat, total_classes).
+
+        Class dim on the model axis when it divides evenly; otherwise
+        the FEATURE dim (2048 — divisible by any sane model axis) so
+        the real 23393-class flagship head (odd total! XLA/JAX reject
+        uneven shardings outright) still distributes its 191 MB kernel
+        + momentum. Feature-dim sharding turns the head matmul into a
+        contraction-sharded product — XLA inserts one logits psum over
+        the model axis."""
+        if n_total is not None and n_total % self.n_model:
+            return NamedSharding(self.mesh, P(MODEL_AXIS, None))
         return NamedSharding(self.mesh, P(None, MODEL_AXIS))
 
-    def head_bias(self) -> NamedSharding:
+    def head_bias(self, n_total: Optional[int] = None) -> NamedSharding:
+        """Bias rides the class axis only when it divides evenly;
+        otherwise replicated (it is ~4 bytes/class — negligible)."""
+        if n_total is not None and n_total % self.n_model:
+            return self.replicated()
         return NamedSharding(self.mesh, P(MODEL_AXIS))
 
     def params(self, params) -> "jax.tree_util.PyTreeDef":
         """Sharding tree for the model params: everything replicated except
-        the fused head, whose class dimension rides the model axis.
+        the fused head, whose class dimension rides the model axis
+        (feature dimension for class counts the mesh cannot split
+        evenly — see head_kernel).
 
         Also correct for optimizer-state trees (e.g. SGD momentum): optax
         states embed the param tree, so each momentum leaf's key path
@@ -75,9 +90,9 @@ class MeshLayout:
             names = [getattr(k, "key", getattr(k, "name", "")) for k in path]
             if "fused_head" in names:
                 if leaf.ndim == 2:
-                    return self.head_kernel()
+                    return self.head_kernel(n_total=leaf.shape[1])
                 if leaf.ndim == 1:
-                    return self.head_bias()
+                    return self.head_bias(n_total=leaf.shape[0])
             return self.replicated()
 
         return jax.tree_util.tree_map_with_path(assign, params)

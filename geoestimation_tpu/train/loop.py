@@ -282,6 +282,7 @@ class Trainer:
                 label_smoothing=tp.label_smoothing,
                 crop=tp.image_size,
                 dtype=self.model.dtype,
+                scene_loss_weight=tp.scene_loss_weight,
                 crop_scale=tuple(tp.train_crop_scale)
                 if tp.train_crop_scale else None,
             )

@@ -68,6 +68,10 @@ class TrainConfig:
     val_labels: Optional[str] = None
     num_workers: int = 4
     label_smoothing: float = 0.0
+    # ISN only: weight of the scene-classification CE in the joint loss
+    # (reference README.md:209-210 S3 routing; raise it when the scene
+    # signal is subtler than the geo cues, e.g. texture-defined scenes)
+    scene_loss_weight: float = 1.0
     checkpoint_dir: str = "models/base_M"
     checkpoint_every_steps: int = 1000
     keep_checkpoints: int = 3

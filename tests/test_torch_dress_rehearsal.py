@@ -429,7 +429,12 @@ def test_full_cli_table_matches_torch_stack_resnet50(world, geo_parts):
     stages = (3, 4, 6, 3)
     n_classes = [len(p) for p in geo_parts]
     sd = make_torch_params(n_classes, stages=stages)
-    train_torch(sd, n_classes, steps=2, batch=2, size=96, stages=stages)
+    # color-target training (see color_targets): decisive,
+    # geographically-sensible logits so the tables contain hits AND
+    # misses (a noise-trained rn50 predicts one far cell everywhere,
+    # which would trip the non-degeneracy guard below)
+    train_torch(sd, n_classes, targets=color_targets(geo_parts),
+                steps=6, batch=4, size=96, stages=stages)
     ckpt_path = str(root / "epoch=004-val_loss=1.0_rn50.ckpt")
     with torch.no_grad():
         torch.save(

@@ -191,6 +191,21 @@ def main(argv=None):
         n_done += int(np.asarray(fb.valid).sum())
     wall = time.perf_counter() - wall0
 
+    # device-RESIDENT rate: batch preloaded on device, no per-step
+    # host->device transfer. On a tunneled chip the e2e loop's
+    # "device" time includes the tunnel transfer of each uint8 batch
+    # (~12.6 MB at b64) — the resident rate is the chip's own speed and
+    # the right numerator for the host-cores budget (host-attached TPUs
+    # pay PCIe/DMA, not a tunnel).
+    dev_images = jax.device_put(jnp.asarray(fb.images))
+    out = forward(dev_images)
+    jax.device_get(jax.tree.leaves(out)[0][:1])
+    t0 = time.perf_counter()
+    for _ in range(10):
+        out = forward(dev_images)
+    jax.device_get(jax.tree.leaves(out)[0][:1])
+    resident_rate = 10 * fb.images.shape[0] / (time.perf_counter() - t0)
+
     device_rate = n_done / device_busy if device_busy else float("nan")
     e2e_rate = n_done / wall
     result = {
@@ -204,10 +219,11 @@ def main(argv=None):
         "arch": args.arch,
         "platform": jax.devices()[0].platform,
         "device_busy_frac": round(device_busy / wall, 4),
-        "device_only_images_per_sec": round(device_rate, 2),
+        "device_plus_transfer_images_per_sec": round(device_rate, 2),
+        "device_resident_images_per_sec": round(resident_rate, 2),
         "host_decode_images_per_sec_per_core": round(decode_rate_1core, 2),
         "host_cores_per_chip_budget": round(
-            device_rate / decode_rate_1core, 2),
+            resident_rate / decode_rate_1core, 2),
     }
     print(json.dumps(result))
     if args.json_out:

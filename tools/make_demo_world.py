@@ -61,10 +61,12 @@ def textured_image(rng, scene, cue, w=320, h=280, scene_style="color"):
     discriminator world, VERDICT next #6)."""
     yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
     base = np.full((h, w, 3), 120.0, np.float32)
-    # multi-octave noise background
+    # multi-octave noise background (halved in texture-scene mode so the
+    # scene-defining textures stay above the noise floor through JPEG)
+    noise_scale = 0.5 if scene_style == "texture" else 1.0
     for g, amp in [(4, 55), (8, 30), (16, 18), (48, 10)]:
         for c in range(3):
-            base[..., c] += amp * _upsample_f32(
+            base[..., c] += noise_scale * amp * _upsample_f32(
                 rng.normal(0, 1, (g, g)), w, h)
     # global luminance gradient, random direction and strength
     theta = rng.uniform(0, 2 * np.pi)
@@ -85,18 +87,23 @@ def textured_image(rng, scene, cue, w=320, h=280, scene_style="color"):
                 (-8.0, -2.0, 20.0)][scene % 3]
         base += np.asarray(cast, np.float32)
     else:
-        samp = rng.uniform(22, 34)
+        # scale-distinct, flip/crop-invariant texture families (none
+        # color-separable): fine checker / coarse checker / smooth
+        # blobs. Frequency bands deliberately AVOID the cue stripes'
+        # (w//14): the scene signal must be separable from the geo cue,
+        # not aliased onto it.
+        samp = rng.uniform(40, 55)
         sph = rng.uniform(0, 2 * np.pi)
-        if scene % 3 == 0:     # fine checkerboard
-            p = max(4, w // 40)
+        if scene % 3 == 0:     # fine checkerboard (well above cue freq)
+            p = max(6, w // 26)
             base += samp * (np.sign(np.sin(2 * np.pi * xx / p + sph))
                             * np.sign(np.sin(2 * np.pi * yy / p + sph))
                             )[..., None]
-        elif scene % 3 == 1:   # plaid: both diagonals (flip-invariant)
-            p = max(6, w // 24)
-            base += samp * 0.7 * (
-                np.sin(2 * np.pi * (xx + yy) / p + sph)
-                + np.sin(2 * np.pi * (xx - yy) / p + sph))[..., None]
+        elif scene % 3 == 1:   # coarse checkerboard (clearly other scale)
+            p = max(18, w // 6)
+            base += samp * (np.sign(np.sin(2 * np.pi * xx / p + sph))
+                            * np.sign(np.sin(2 * np.pi * yy / p + sph))
+                            )[..., None]
         else:                  # smooth low-frequency blobs
             for c in range(3):
                 base[..., c] += samp * _upsample_f32(
@@ -113,8 +120,10 @@ def textured_image(rng, scene, cue, w=320, h=280, scene_style="color"):
     base += rng.normal(0, 5, (h, w, 3))
     arr = np.clip(base, 0, 255)
     buf = io.BytesIO()
+    # texture scenes need the fine checker to survive JPEG quantization
+    q = 93 if scene_style == "texture" else 88
     Image.fromarray(arr.astype(np.uint8)).save(buf, format="JPEG",
-                                               quality=88)
+                                               quality=q)
     return buf.getvalue()
 
 
@@ -155,7 +164,13 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--image_size", type=int, default=224,
                    help="training crop size (also scales the synthetic "
-                        "JPEG dimensions)")
+                        "JPEG dimensions unless --jpeg_size is given)")
+    p.add_argument("--jpeg_size", type=int, default=None,
+                   help="generate JPEGs at this base size instead of "
+                        "image_size (+margins): small training crops on "
+                        "native-resolution images — the loader upscales "
+                        "small sources to 256, which blurs fine texture "
+                        "cues")
     p.add_argument("--arch", default="resnet50",
                    help="backbone written into the configs (resnet14 for "
                         "fast CPU smoke runs)")
@@ -198,7 +213,8 @@ def main(argv=None):
     # follows the cue — and in --scene_world the (cue, scene) pair, so the
     # same stripes mean a different city per scene (per-scene heads can
     # express that linearly; a single shared head cannot).
-    jw, jh = args.image_size + 40, args.image_size + 24
+    jbase = args.jpeg_size or args.image_size
+    jw, jh = jbase + 40, jbase + 24
     if args.style == "textured":
         import functools
 
