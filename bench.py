@@ -210,9 +210,11 @@ def _measure(batch: int, iters: int) -> float:
         # models/quant.py feature_tta docs; accuracy evidence:
         # docs/QUANTIZATION.md study table).
         feature_tta = os.environ.get("BENCH_TTA", "exact") == "feature"
+        ftta_level = int(os.environ.get("BENCH_TTA_LEVEL", "3"))
         int8_apply = build_int8_apply(
             qnet, scales, n_classes=REAL_CLASS_COUNTS,
-            feature_tta=({"crop": 224, "n_crops": n_crops}
+            feature_tta=({"crop": 224, "n_crops": n_crops,
+                          "level": ftta_level}
                          if feature_tta else None))
 
         # NOTE: weights ride as jit closure constants (no variables arg) so
@@ -257,7 +259,8 @@ def _measure(batch: int, iters: int) -> float:
 
         ftta_apply = build_feature_tta_apply(
             variables, "resnet50", n_classes=REAL_CLASS_COUNTS,
-            n_crops=n_crops)
+            n_crops=n_crops,
+            level=int(os.environ.get("BENCH_TTA_LEVEL", "3")))
 
         @jax.jit
         def forward(variables, images_u8):

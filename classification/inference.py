@@ -53,6 +53,11 @@ def build_parser():
                         "map (~4x less trunk work; approximate at crop "
                         "borders — accuracy deltas measured by "
                         "tools/quant_study.py --feature_tta)")
+    p.add_argument("--feature_tta_level", type=int, default=3,
+                   choices=[1, 2, 3],
+                   help="with --feature_tta: backbone stage whose feature "
+                        "map is cropped (3 = fastest; 2 runs layer3+4 "
+                        "per crop — closer to exact, still >1.5x)")
     p.add_argument("--exact_tta", action="store_true",
                    help="torchvision-exact host ten-crop geometry (strict "
                         "parity for imported reference checkpoints)")
@@ -107,6 +112,7 @@ def main(argv=None):
         tta_mode=("feature" if args.feature_tta
                   else "host_exact" if args.exact_tta else "device"),
         tta_fold=args.tta_fold,
+        feature_tta_level=args.feature_tta_level,
         int8=(args.precision == 8),
         int8_scales_path=default_scales_path(args.checkpoint),
         calib_dir=args.calib_dir,

@@ -70,6 +70,7 @@ class InferenceEngine:
         layout=None,
         tta_mode: str = "device",
         tta_fold: str = "prob_mean",
+        feature_tta_level: int = 3,
         int8: bool = False,
         int8_scales_path: Optional[str] = None,
         calib_dir: Optional[str] = None,
@@ -87,7 +88,11 @@ class InferenceEngine:
         TTA crop axis folds into batch and shards with it).
         tta_mode: 'device' (default — crops from a 256 square inside jit)
         or 'host_exact' (torchvision-exact host ten-crop geometry for
-        strict parity on non-square images; forces n_crops=10).
+        strict parity on non-square images; forces n_crops=10), or
+        'feature' (approximate fast mode: crops taken at the
+        layer{feature_tta_level} feature map — models/fast_infer.py
+        build_feature_tta_apply; level 3 is fastest, level 2 runs
+        layer3+4 per crop and tracks the exact path more closely).
         tta_fold: how per-crop logits combine — 'prob_mean' (reference
         convention, default), 'log_mean', or 'logit_mean'
         (eval.infer.mean_tta_logits).
@@ -147,6 +152,7 @@ class InferenceEngine:
         self._calib_headroom = calib_headroom
         self._int8_persist = int8_persist
         self._int8_recalibrate = int8_recalibrate
+        self._feature_tta_level = feature_tta_level
         self.model_arch = mp.arch
         self._int8_apply = None  # built lazily after first-batch calib
         if int8:
@@ -178,7 +184,7 @@ class InferenceEngine:
             self._feature_apply = build_feature_tta_apply(
                 self.variables, mp.arch,
                 n_classes=tuple(len(p) for p in partitionings),
-                crop=crop, n_crops=n_crops)
+                crop=crop, n_crops=n_crops, level=feature_tta_level)
         from .infer import TTA_FOLDS
 
         if tta_fold not in TTA_FOLDS:
@@ -333,7 +339,8 @@ class InferenceEngine:
             except OSError:
                 pass  # read-only checkpoint dir: recalibrate next run
         self.int8_calib_source = source
-        feature_tta = ({"crop": self.crop, "n_crops": self.n_crops}
+        feature_tta = ({"crop": self.crop, "n_crops": self.n_crops,
+                        "level": self._feature_tta_level}
                        if self.tta_mode == "feature" else None)
         int8_apply = build_int8_apply(self._qnet, scales,
                                       n_classes=self._n_classes,

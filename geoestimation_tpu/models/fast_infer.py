@@ -317,25 +317,35 @@ def build_fast_apply(variables, arch="resnet50", n_classes=None,
 
 def build_feature_tta_apply(variables, arch="resnet50", n_classes=None,
                             use_pallas=False, crop=224, n_crops=10,
-                            eps=1e-5):
+                            eps=1e-5, level=3):
     """Feature-space ten-crop TTA, bf16: `apply(base_norm) -> logits
     (B * n_crops, C)` where `base_norm` is the NORMALIZED square base
     image (B, S, S, 3), not crops.
 
-    Runs stem..layer3 once on the base (plus once on its horizontal
-    mirror for n_crops=10), crops the crop-aligned windows from the
-    stride-16 layer3 feature map (pixel offsets {0, (S-crop)/2, S-crop}
-    are exact feature offsets), and runs layer4 + head per window —
+    Runs stem..layer{level} once on the base (plus once on its
+    horizontal mirror for n_crops=10), crops the crop-aligned windows
+    from that stage's feature map (crop-grid pixel offsets are exact
+    multiples of the feature stride), and runs the remaining stages +
+    head per window. At level=3 (default) only layer4 runs per crop —
     ten-crop trunk work drops ~4x. APPROXIMATE at crop borders (features
-    see real neighbors instead of crop padding); accuracy measured by
+    see real neighbors instead of crop padding); lower levels crop
+    earlier features (stride 8 at level 2), so the later stages see
+    exactly the per-crop geometry and only the small-receptive-field
+    early features carry border context — measurably closer to exact at
+    a smaller (still >1.5x) speedup. Accuracy per level is measured by
     tools/quant_study.py --feature_tta. The int8 twin is
     quant.build_int8_apply(feature_tta=...)."""
     if n_crops not in (5, 10):
         raise ValueError("feature TTA n_crops must be 5 or 10")
     inner = build_fast_apply(variables, arch, n_classes=n_classes,
                              use_pallas=use_pallas, eps=eps)
-    trunk = inner.stage_fns[:-1]
-    last_stage = inner.stage_fns[-1]
+    n_stages = len(inner.stage_fns) - 1
+    if not 1 <= level <= n_stages - 1:
+        raise ValueError(
+            f"feature TTA level must be in [1, {n_stages - 1}] "
+            f"(got {level})")
+    trunk = inner.stage_fns[:1 + level]
+    rest_stages = inner.stage_fns[1 + level:]
 
     def apply(base_norm):
         b, s, s2_, _ = base_norm.shape
@@ -351,7 +361,7 @@ def build_feature_tta_apply(variables, arch="resnet50", n_classes=None,
         if crop % stride or (s - crop) % (2 * stride):
             raise ValueError(
                 f"feature TTA needs crop {crop} and base {s} aligned to "
-                f"2x the layer3 stride ({stride})")
+                f"2x the layer{level} stride ({stride})")
         w = crop // stride
         m = g - w
         offs = [(0, 0), (0, m), (m, 0), (m, m), (m // 2, m // 2)]
@@ -362,7 +372,8 @@ def build_feature_tta_apply(variables, arch="resnet50", n_classes=None,
             windows += [f[:, r:r + w, c:c + w] for r, c in offs]
         xc = jnp.stack(windows, axis=1)
         xc = xc.reshape((b * n_crops,) + xc.shape[2:])
-        xc = last_stage(xc)
+        for fn in rest_stages:
+            xc = fn(xc)
         return inner.head_logits(xc)
 
     return apply

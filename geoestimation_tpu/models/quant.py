@@ -423,20 +423,24 @@ def build_int8_apply(qnet, act_scales, n_classes=None, feature_tta=None):
     All requant multipliers are prefolded host-side; on device each conv
     is s8 x s8 -> s32 followed by one fused multiply-add-clip-round.
 
-    feature_tta (dict {"crop": 224, "n_crops": 10|5} or None): the
-    feature-space TTA mode — `apply` then takes the (B, base, base, 3)
-    BASE image (shift_s8'd, not cropped) and runs stem..layer3 ONCE on
-    it (plus once on its mirror for n_crops=10), crops 224-crop-aligned
-    windows from the layer3 feature map (stride 16: pixel offsets
-    {0, 16, 32} are exactly feature offsets {0, 1, 2}), and runs only
-    layer4+head per crop. Ten-crop trunk work drops ~4x (2 base passes
-    at 256^2 replace 10 crop passes at 224^2). APPROXIMATE by
+    feature_tta (dict {"crop": 224, "n_crops": 10|5, "level": 3|2|1} or
+    None): the feature-space TTA mode — `apply` then takes the
+    (B, base, base, 3) BASE image (shift_s8'd, not cropped) and runs
+    stem..layer{level} ONCE on it (plus once on its mirror for
+    n_crops=10), crops crop-aligned windows from that stage's feature
+    map (e.g. level 3, stride 16: pixel offsets {0, 16, 32} are exactly
+    feature offsets {0, 1, 2}), and runs the remaining stages + head per
+    crop. At level 3 (default) ten-crop trunk work drops ~4x (2 base
+    passes at 256^2 replace 10 crop passes at 224^2). APPROXIMATE by
     construction: features within a receptive field of a crop border see
     real neighboring pixels instead of the crop's padding — the exact
-    ten-crop path remains the default; accuracy deltas are measured by
-    tools/quant_study.py --feature_tta. Returned logits are
-    (B * n_crops, C), crops contiguous per image, ready for
-    `eval.infer.mean_tta_logits`.
+    ten-crop path remains the default. Level 2 crops the stride-8
+    layer2 map instead, so layer3+layer4 run per crop on exact crop
+    geometry and only the small-receptive-field early features carry
+    border context: measurably closer to exact at a smaller speedup.
+    Accuracy deltas per level are measured by tools/quant_study.py
+    --feature_tta. Returned logits are (B * n_crops, C), crops
+    contiguous per image, ready for `eval.infer.mean_tta_logits`.
     """
     stage_sizes = qnet["stage_sizes"]
     params = qnet["heads"]
@@ -627,8 +631,13 @@ def build_int8_apply(qnet, act_scales, n_classes=None, feature_tta=None):
 
     ft_crop = int(feature_tta.get("crop", 224))
     ft_n = int(feature_tta.get("n_crops", 10))
+    ft_level = int(feature_tta.get("level", 3))
     if ft_n not in (5, 10):
         raise ValueError("feature_tta n_crops must be 5 or 10")
+    if not 1 <= ft_level <= len(block_fns) - 1:
+        raise ValueError(
+            f"feature_tta level must be in [1, {len(block_fns) - 1}] "
+            f"(got {ft_level})")
 
     def apply_feature(base_s8):
         b, s, s2_, _ = base_s8.shape
@@ -641,7 +650,7 @@ def build_int8_apply(qnet, act_scales, n_classes=None, feature_tta=None):
             trunk_in = jnp.concatenate(
                 [base_s8, base_s8[:, :, ::-1, :]], axis=0)
         x = stem_fn(trunk_in)
-        for blocks in block_fns[:-1]:
+        for blocks in block_fns[:ft_level]:
             for blk in blocks:
                 x = blk(x)
         g = x.shape[1]                    # feature grid (stride s // g)
@@ -649,7 +658,7 @@ def build_int8_apply(qnet, act_scales, n_classes=None, feature_tta=None):
         if ft_crop % stride or (s - ft_crop) % (2 * stride):
             raise ValueError(
                 f"feature TTA needs crop {ft_crop} and base {s} aligned "
-                f"to 2x the layer3 stride ({stride})")
+                f"to 2x the layer{ft_level} stride ({stride})")
         w = ft_crop // stride
         m = g - w
         offs = [(0, 0), (0, m), (m, 0), (m, m), (m // 2, m // 2)]
@@ -660,8 +669,9 @@ def build_int8_apply(qnet, act_scales, n_classes=None, feature_tta=None):
             windows += [f[:, r:r + w, c:c + w] for r, c in offs]
         xc = jnp.stack(windows, axis=1)   # (b, n_crops, w, w, C)
         xc = xc.reshape((b * ft_n,) + xc.shape[2:])
-        for blk in block_fns[-1]:
-            xc = blk(xc)
+        for blocks in block_fns[ft_level:]:
+            for blk in blocks:
+                xc = blk(xc)
         return head_logits(xc)
 
     return apply_feature

@@ -232,6 +232,16 @@ def main(argv=None):
     p.add_argument("--max_wait_ms", type=float, default=5.0)
     p.add_argument("--crops", type=int, default=1, choices=[1, 5, 10])
     p.add_argument("--fast", action="store_true")
+    p.add_argument("--feature_tta", action="store_true",
+                   help="with --crops 5/10: feature-space TTA — the "
+                        "trunk runs once per base image and crops happen "
+                        "at the feature map (2.6-3.3x measured TTA "
+                        "throughput; approximate at crop borders — "
+                        "accuracy evidence: docs/QUANTIZATION.md)")
+    p.add_argument("--feature_tta_level", type=int, default=3,
+                   choices=[1, 2, 3],
+                   help="with --feature_tta: stage whose feature map is "
+                        "cropped (3 = fastest; 2 = closer to exact)")
     p.add_argument("--precision", type=int, default=16,
                    choices=[8, 16, 32],
                    help="8 = int8 PTQ serving precision (models/quant.py;"
@@ -278,9 +288,13 @@ def main(argv=None):
     # poison every later run that trusts the cache.
     synthetic_calib = (args.precision == 8 and args.warmup
                        and not args.calib_dir)
+    if args.feature_tta and args.crops == 1:
+        p.error("--feature_tta needs --crops 5 or 10")
     engine = InferenceEngine(
         config, state, n_crops=args.crops, fast=args.fast,
         dtype=jnp.float32 if args.precision == 32 else jnp.bfloat16,
+        tta_mode=("feature" if args.feature_tta else "device"),
+        feature_tta_level=args.feature_tta_level,
         int8=(args.precision == 8),
         int8_scales_path=default_scales_path(args.checkpoint),
         calib_dir=args.calib_dir,

@@ -122,6 +122,25 @@ class TestInferenceCLI:
         df = pd.read_csv(out)
         assert len(df) == world["n_images"] * 4
 
+    def test_feature_tta_level2_runs(self, world, tmp_path):
+        """--feature_tta --feature_tta_level 2 through the real CLI:
+        crops at the layer2 feature map, layer3+4 per crop (the
+        closer-to-exact fast mode; models/fast_infer.py)."""
+        from classification.inference import main
+
+        out = str(tmp_path / "preds_ftta2.csv")
+        main([
+            "--checkpoint", world["ckpt"],
+            "--image_dir", world["img_dir"],
+            "--output", out,
+            "--batch_size", "4",
+            "--crops", "10",
+            "--feature_tta", "--feature_tta_level", "2",
+        ])
+        df = pd.read_csv(out)
+        assert len(df) == world["n_images"] * 4
+        assert set(df.p_key) == {"coarse", "middle", "fine", "hierarchy"}
+
 
 class TestFastEngine:
     def test_fast_matches_default(self, world, tmp_path):

@@ -137,3 +137,89 @@ def test_feature_tta_rejects_misaligned_geometry(model_and_vars):
                                     crop=224)
     with pytest.raises(ValueError, match="aligned"):
         apply(jnp.zeros((1, 240, 240, 3), jnp.float32))
+
+
+def test_feature_tta_rejects_bad_level(model_and_vars):
+    _, variables = model_and_vars
+    with pytest.raises(ValueError, match="level"):
+        build_feature_tta_apply(variables, ARCH, n_classes=N_CLASSES,
+                                level=4)
+    from geoestimation_tpu.models.quant import (
+        build_int8_apply,
+        calibrate,
+        quantize_model,
+    )
+
+    base = np.full((1, 224, 224, 3), 127, np.uint8)
+    scales = calibrate(variables, [base], arch=ARCH, n_crops=1, crop=224)
+    qnet = quantize_model(variables, arch=ARCH)
+    with pytest.raises(ValueError, match="level"):
+        build_int8_apply(qnet, scales, n_classes=N_CLASSES,
+                         feature_tta={"crop": 224, "n_crops": 5,
+                                      "level": 0})
+
+
+@pytest.mark.parametrize("level", [1, 2, 3])
+def test_degenerate_geometry_is_exact_per_level(model_and_vars, level):
+    """With base == crop (m=0) every window is the whole feature map, so
+    feature TTA at ANY level must equal the plain forward on the base —
+    this pins the stage split point exactly (a wrong split would change
+    the network, not just border context)."""
+    _, variables = model_and_vars
+    rng = np.random.default_rng(3)
+    u8 = jnp.asarray(rng.integers(0, 255, (2, 224, 224, 3), np.uint8))
+    exact = build_fast_apply(variables, ARCH, n_classes=N_CLASSES,
+                             use_pallas=False)(normalize(u8, jnp.float32))
+    got = build_feature_tta_apply(variables, ARCH, n_classes=N_CLASSES,
+                                  n_crops=5, level=level)(
+        normalize(u8, jnp.float32))
+    for g, e in zip(got, exact):
+        g = np.asarray(g).reshape(2, 5, -1)
+        for c in range(5):
+            np.testing.assert_allclose(g[:, c], np.asarray(e),
+                                       rtol=0, atol=2e-2)
+
+
+def test_level2_tracks_exact(model_and_vars, base_images):
+    """Level 2 (crop at layer2, run layer3+4 per crop) must track the
+    exact ten-crop path at least as well as the default level 3 — only
+    the small-receptive-field early features carry border context."""
+    _, variables = model_and_vars
+    u8 = jnp.asarray(base_images)
+    exact_apply = build_fast_apply(variables, ARCH, n_classes=N_CLASSES,
+                                   use_pallas=False)
+    exact = exact_apply(eval_pipeline(u8, n_crops=10, crop=224,
+                                      dtype=jnp.float32))
+    got = build_feature_tta_apply(variables, ARCH, n_classes=N_CLASSES,
+                                  level=2)(normalize(u8, jnp.float32))
+    for g, e in zip(got, exact):
+        fg = mean_tta_logits(g, 10)
+        fe = mean_tta_logits(e, 10)
+        assert _corr(fg, fe) > 0.95
+        assert (np.asarray(jnp.argmax(fg, -1))
+                == np.asarray(jnp.argmax(fe, -1))).all()
+
+
+def test_int8_level2_tracks_bf16_level2(model_and_vars, base_images):
+    _, variables = model_and_vars
+    from geoestimation_tpu.models.quant import (
+        build_int8_apply,
+        calibrate,
+        quantize_model,
+        shift_s8,
+    )
+
+    u8 = jnp.asarray(base_images)
+    scales = calibrate(variables, [base_images], arch=ARCH,
+                       n_crops=1, crop=224)
+    qnet = quantize_model(variables, arch=ARCH)
+    i8 = build_int8_apply(qnet, scales, n_classes=N_CLASSES,
+                          feature_tta={"crop": 224, "n_crops": 10,
+                                       "level": 2})(shift_s8(u8))
+    bf = build_feature_tta_apply(variables, ARCH, n_classes=N_CLASSES,
+                                 level=2)(normalize(u8, jnp.float32))
+    for g, e in zip(i8, bf):
+        assert g.shape == e.shape
+        fg = mean_tta_logits(g, 10)
+        fe = mean_tta_logits(e, 10)
+        assert _corr(fg, fe) > 0.95

@@ -88,6 +88,12 @@ def main(argv=None):
                         "each int8 setting (suffix '+ftta' — combined "
                         "PTQ + feature-crop delta vs the exact fp32 "
                         "ten-crop reference)")
+    p.add_argument("--feature_tta_levels", default="3",
+                   help="with --feature_tta: comma list of crop levels "
+                        "to measure (3 = crop at layer3, fastest; 2 = "
+                        "crop at layer2 — layer3+4 run per crop, closer "
+                        "to exact). Suffixes '+ftta' (level 3) / "
+                        "'+ftta<L>' otherwise")
     args = p.parse_args(argv)
     if args.cpu:
         import jax
@@ -154,10 +160,13 @@ def main(argv=None):
     samples = calibrate_samples(variables, batches, arch=mp.arch,
                                 n_crops=n_crops, crop=224)
     base_grid = parse_grid(args.stats, args.headrooms)
-    # configs are (stat, headroom, mode); 'feature' = feature-space TTA
+    # configs are (stat, headroom, mode); 'feature<L>' = feature-space
+    # TTA cropping at layer L
+    ft_levels = ([int(x) for x in args.feature_tta_levels.split(",")]
+                 if args.feature_tta else [])
     grid = [(s, h, "exact") for s, h in base_grid]
-    if args.feature_tta:
-        grid += [(s, h, "feature") for s, h in base_grid]
+    for lvl in ft_levels:
+        grid += [(s, h, f"feature{lvl}") for s, h in base_grid]
     scale_sets = {g: derive_scales(samples, g[0], g[1]) for g in grid}
 
     # --- jitted forwards: fp32 reference + ONE dynamic int8 graph ------
@@ -186,17 +195,24 @@ def main(argv=None):
         x = eval_pipeline_s8(images_u8, n_crops=n_crops, crop=224)
         return fold_predict(dyn(x, act_scales))
 
-    fwd_int8_feature = None
-    if args.feature_tta:
+    fwd_int8_feature = {}
+    if ft_levels:
         from geoestimation_tpu.models.quant import shift_s8
 
-        dyn_ft = build_int8_apply_dynamic(
-            qnet, n_classes=n_classes,
-            feature_tta={"crop": 224, "n_crops": n_crops})
+        def make_ft_fwd(lvl):
+            dyn_ft = build_int8_apply_dynamic(
+                qnet, n_classes=n_classes,
+                feature_tta={"crop": 224, "n_crops": n_crops,
+                             "level": lvl})
 
-        @jax.jit
-        def fwd_int8_feature(images_u8, act_scales):
-            return fold_predict(dyn_ft(shift_s8(images_u8), act_scales))
+            @jax.jit
+            def fwd(images_u8, act_scales):
+                return fold_predict(dyn_ft(shift_s8(images_u8),
+                                           act_scales))
+
+            return fwd
+
+        fwd_int8_feature = {lvl: make_ft_fwd(lvl) for lvl in ft_levels}
 
     # --- single pass over the corpus, all configs per decoded batch ----
     meta = load_meta_csv(args.meta)
@@ -219,7 +235,8 @@ def main(argv=None):
         ref = np.asarray(fwd_fp32(images))
         outs = {
             g: np.asarray(
-                (fwd_int8_feature if g[2] == "feature" else fwd_int8)(
+                (fwd_int8_feature[int(g[2][len("feature"):])]
+                 if g[2].startswith("feature") else fwd_int8)(
                     images, dev_scales[g]))
             for g in grid
         }
@@ -266,7 +283,13 @@ def main(argv=None):
                             max(abs(v) for v in deltas[k].values()))
         ok = max_delta <= args.budget
         any_pass = any_pass or ok
-        name = f"{g[0]}@{g[1]:g}" + ("+ftta" if g[2] == "feature" else "")
+        if g[2] == "exact":
+            suffix = ""
+        elif g[2] == "feature3":
+            suffix = "+ftta"
+        else:
+            suffix = f"+ftta{g[2][len('feature'):]}"
+        name = f"{g[0]}@{g[1]:g}" + suffix
         print(f"{name:<16}{max_delta:>14.3f}  "
               + "".join(f"{100 * flips[k]:>15.2f}%" for k in pred_keys)
               + ("   PASS" if ok else "   FAIL"))
