@@ -91,8 +91,9 @@ class InferenceEngine:
         strict parity on non-square images; forces n_crops=10), or
         'feature' (approximate fast mode: crops taken at the
         layer{feature_tta_level} feature map — models/fast_infer.py
-        build_feature_tta_apply; level 3 is fastest, level 2 runs
-        layer3+4 per crop and tracks the exact path more closely).
+        build_feature_tta_apply; level 3 is the fastest and the only
+        recommended setting — level 2 measured no closer to exact,
+        see docs/QUANTIZATION.md).
         tta_fold: how per-crop logits combine — 'prob_mean' (reference
         convention, default), 'log_mean', or 'logit_mean'
         (eval.infer.mean_tta_logits).

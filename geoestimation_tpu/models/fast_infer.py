@@ -331,10 +331,12 @@ def build_feature_tta_apply(variables, arch="resnet50", n_classes=None,
     see real neighbors instead of crop padding); lower levels crop
     earlier features (stride 8 at level 2), so the later stages see
     exactly the per-crop geometry and only the small-receptive-field
-    early features carry border context — measurably closer to exact at
-    a smaller (still >1.5x) speedup. Accuracy per level is measured by
-    tools/quant_study.py --feature_tta. The int8 twin is
-    quant.build_int8_apply(feature_tta=...)."""
+    early features carry border context. Measured (docs/QUANTIZATION.md,
+    docs/quant_study_r3b.json): level 2 does NOT reduce the accuracy
+    delta vs level 3 — the border damage lives in the shared layer1/2
+    receptive fields — and it is slower, so level 3 is the only
+    sensible setting; the knob exists to make that measurable. The int8
+    twin is quant.build_int8_apply(feature_tta=...)."""
     if n_crops not in (5, 10):
         raise ValueError("feature TTA n_crops must be 5 or 10")
     inner = build_fast_apply(variables, arch, n_classes=n_classes,

@@ -124,8 +124,9 @@ class TestInferenceCLI:
 
     def test_feature_tta_level2_runs(self, world, tmp_path):
         """--feature_tta --feature_tta_level 2 through the real CLI:
-        crops at the layer2 feature map, layer3+4 per crop (the
-        closer-to-exact fast mode; models/fast_infer.py)."""
+        crops at the layer2 feature map, layer3+4 per crop
+        (models/fast_infer.py; measured no closer to exact than
+        level 3 — docs/QUANTIZATION.md)."""
         from classification.inference import main
 
         out = str(tmp_path / "preds_ftta2.csv")

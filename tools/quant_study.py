@@ -100,6 +100,15 @@ def main(argv=None):
 
         jax.config.update("jax_platforms", "cpu")
     import jax
+
+    # persistent compile cache: repeat studies (and the bench, which
+    # shares the dir) skip the multi-minute tunnel compiles
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "..", ".jax_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
     import jax.numpy as jnp
 
     from geoestimation_tpu.data.image_folder import (
