@@ -355,9 +355,13 @@ def main():
         batch = int(os.environ.get("BENCH_BATCH", "4"))
         iters = int(os.environ.get("BENCH_ITERS", "3"))
     else:
-        # b=96 measured +0.6% over b=64 on the int8 path (round 3);
-        # int8 throughput is batch-linear, bf16 is batch-flat
-        batch = int(os.environ.get("BENCH_BATCH", "96"))
+        # int8 batch sweep (round 3, repeatable): 80:1468 96:1507-1508
+        # 104:1455 112:1522-1523 120:1451 128:1479 — b=112 is the peak
+        # (+1.0% over 96); bf16 is batch-flat at 64/96 and worse at 112,
+        # so only the int8 default moves
+        default_b = "112" if os.environ.get(
+            "BENCH_PRECISION", "int8") == "int8" else "64"
+        batch = int(os.environ.get("BENCH_BATCH", default_b))
         iters = int(os.environ.get("BENCH_ITERS", "30"))
 
     try:
