@@ -75,6 +75,10 @@ def build_parser():
     p.add_argument("--recalibrate", action="store_true",
                    help="with --precision 8: ignore any cached "
                         "int8_scales.json")
+    p.add_argument("--fast_decode", action="store_true",
+                   help="scaled DCT JPEG decode on the host ingest path "
+                        "(several times faster on large photos; slightly "
+                        "different pixels — off for strict parity)")
     return p
 
 
@@ -117,6 +121,7 @@ def main(argv=None):
         calib_stat=args.calib_stat,
         calib_headroom=args.calib_headroom,
         int8_recalibrate=args.recalibrate,
+        fast_decode=args.fast_decode,
     )
     all_results = {}
     for image_dir, meta_file in zip(args.image_dirs, args.meta_files):

@@ -48,6 +48,7 @@ def iter_image_folder(
     prefetch: int = 2,
     tencrop_host: bool = False,
     crop: int = 224,
+    fast_decode: bool = False,
 ) -> Iterator[EvalBatch]:
     """Decode-and-batch iterator with background prefetch.
 
@@ -57,6 +58,10 @@ def iter_image_folder(
     tencrop_host=True yields torchvision-exact host ten-crops
     (B, 10, crop, crop, 3) instead of (B, base, base, 3) squares — the
     strict-parity path for imported reference checkpoints.
+
+    fast_decode=True enables scaled DCT decode for JPEGs (several times
+    faster host ingest on large photos, slightly different pixel values —
+    see ingest.decode.decode_pil); off by default for parity.
     """
     paths = list_images(image_dir)
     if not paths:
@@ -86,7 +91,7 @@ def iter_image_folder(
                 else:
                     images, ok = decode.decode_batch(
                         blobs, resize_to=resize_to, base_size=base_size,
-                        num_threads=num_workers,
+                        num_threads=num_workers, fast_scale=fast_decode,
                     )
                 ids = [os.path.basename(p) for p in chunk]
                 pad = batch_size - len(chunk)

@@ -79,6 +79,7 @@ class InferenceEngine:
         calib_headroom: float = 1.0,
         int8_persist: bool = True,
         int8_recalibrate: bool = False,
+        fast_decode: bool = False,
     ):
         """fast=True folds BatchNorm into conv weights at load time
         (models/fast_infer.py) — identical predictions up to bf16 rounding;
@@ -118,7 +119,11 @@ class InferenceEngine:
         batch).
         calib_stat: 'absmax' | 'p999' | 'p9999' (quant.calibrate);
         calib_headroom: scale multiplier (>1 trades resolution for
-        clipping margin); int8_recalibrate: ignore any cache."""
+        clipping margin); int8_recalibrate: ignore any cache.
+        fast_decode: scaled DCT JPEG decode on the host ingest path
+        (ingest.decode — several times faster on large photos, slightly
+        different pixels); also applies to int8 calibration batches so
+        calibration sees the same pixel distribution as eval."""
         mp = config.model_params
         if partitionings is None:
             paths = resolve_partitioning_paths(
@@ -153,6 +158,7 @@ class InferenceEngine:
         self._calib_headroom = calib_headroom
         self._int8_persist = int8_persist
         self._int8_recalibrate = int8_recalibrate
+        self._fast_decode = fast_decode
         self._feature_tta_level = feature_tta_level
         self.model_arch = mp.arch
         self._int8_apply = None  # built lazily after first-batch calib
@@ -229,7 +235,8 @@ class InferenceEngine:
         from ..data.image_folder import iter_image_folder
 
         batches, n = [], 0
-        for fb in iter_image_folder(self._calib_dir, batch_size=32):
+        for fb in iter_image_folder(self._calib_dir, batch_size=32,
+                                    fast_decode=self._fast_decode):
             good = fb.images[np.asarray(fb.valid)]
             take = min(self._calib_images - n, len(good))
             if take:
@@ -458,6 +465,7 @@ class InferenceEngine:
         for batch in iter_image_folder(
             image_dir, batch_size=batch_size, num_workers=num_workers,
             tencrop_host=(self.tta_mode == "host_exact"), crop=self.crop,
+            fast_decode=self._fast_decode,
         ):
             preds = self.predict_batch(batch.images)
             for key, (cls, lat, lng) in preds.items():
@@ -495,6 +503,7 @@ class InferenceEngine:
         for batch in iter_image_folder(
             image_dir, batch_size=batch_size, num_workers=num_workers,
             tencrop_host=(self.tta_mode == "host_exact"), crop=self.crop,
+            fast_decode=self._fast_decode,
         ):
             true_lat = np.zeros(len(batch.ids), np.float32)
             true_lng = np.zeros(len(batch.ids), np.float32)

@@ -45,8 +45,16 @@ void jpeg_error_exit(j_common_ptr cinfo) {
 }
 
 // Decode a JPEG byte buffer to packed RGB. Returns false on any error.
+//
+// When `min_side > 0`, decodes at the smallest libjpeg DCT scale (M/8,
+// M=1..8; libjpeg-turbo supports all of them) whose output shorter side
+// still covers `min_side` — the IDCT then runs on up to 64x fewer
+// coefficients, which is the dominant host-ingest cost for large photos.
+// `orig_width/orig_height` always report the pre-scaling header dims so
+// the caller can keep resize geometry identical to a full decode.
 bool decode_jpeg(const uint8_t* data, size_t len, std::vector<uint8_t>* rgb,
-                 int* width, int* height) {
+                 int* width, int* height, int min_side, int* orig_width,
+                 int* orig_height) {
   jpeg_decompress_struct cinfo;
   JpegErrorMgr jerr;
   cinfo.err = jpeg_std_error(&jerr.pub);
@@ -63,6 +71,20 @@ bool decode_jpeg(const uint8_t* data, size_t len, std::vector<uint8_t>* rgb,
     return false;
   }
   cinfo.out_color_space = JCS_RGB;
+  *orig_width = static_cast<int>(cinfo.image_width);
+  *orig_height = static_cast<int>(cinfo.image_height);
+  if (min_side > 0) {
+    for (unsigned int num = 1; num <= 8; ++num) {
+      cinfo.scale_num = num;
+      cinfo.scale_denom = 8;
+      jpeg_calc_output_dimensions(&cinfo);
+      if (static_cast<int>(std::min(cinfo.output_width,
+                                    cinfo.output_height)) >= min_side) {
+        break;  // smallest M meeting the coverage constraint wins
+      }
+    }
+    // (if even 8/8 is below min_side the image is small; full decode)
+  }
   jpeg_start_decompress(&cinfo);
   *width = cinfo.output_width;
   *height = cinfo.output_height;
@@ -189,16 +211,25 @@ void resize_bilinear(const std::vector<uint8_t>& in, int w, int h,
   }
 }
 
+// Flag bits for geoingest_decode_batch_ex.
+constexpr int kFlagScaledDecode = 1;
+
 // One image: decode -> shorter-side resize -> center crop -> write.
 bool process_one(const uint8_t* blob, size_t len, int resize_to,
-                 int base_size, uint8_t* out) {
+                 int base_size, uint8_t* out, int flags) {
   std::vector<uint8_t> rgb;
-  int w = 0, h = 0;
-  if (len == 0 || !decode_jpeg(blob, len, &rgb, &w, &h)) return false;
+  int w = 0, h = 0, ow = 0, oh = 0;
+  const int min_side = (flags & kFlagScaledDecode) ? resize_to : 0;
+  if (len == 0 ||
+      !decode_jpeg(blob, len, &rgb, &w, &h, min_side, &ow, &oh)) {
+    return false;
+  }
 
-  const double scale = static_cast<double>(resize_to) / std::min(w, h);
-  int nw = std::max(static_cast<int>(std::lround(w * scale)), resize_to);
-  int nh = std::max(static_cast<int>(std::lround(h * scale)), resize_to);
+  // Target geometry is always derived from the ORIGINAL header dims so a
+  // scaled decode changes pixel values only (slightly), never shapes.
+  const double scale = static_cast<double>(resize_to) / std::min(ow, oh);
+  int nw = std::max(static_cast<int>(std::lround(ow * scale)), resize_to);
+  int nh = std::max(static_cast<int>(std::lround(oh * scale)), resize_to);
 
   std::vector<float> tmp;
   std::vector<uint8_t> resized;
@@ -225,11 +256,15 @@ bool process_one(const uint8_t* blob, size_t len, int resize_to,
 
 }  // namespace
 
-extern "C" int geoingest_decode_batch(const char** blobs,
-                                      const size_t* lens, int n,
-                                      int resize_to, int base_size,
-                                      uint8_t* out, uint8_t* ok,
-                                      int n_threads) {
+// Extended entry: `flags` bit 0 enables scaled DCT decode (decode at the
+// smallest M/8 scale covering `resize_to` — typically 4-60x fewer IDCT
+// pixels on real photos; slightly different pixel values than a full
+// decode, so it is opt-in and OFF on the default parity path).
+extern "C" int geoingest_decode_batch_ex(const char** blobs,
+                                         const size_t* lens, int n,
+                                         int resize_to, int base_size,
+                                         uint8_t* out, uint8_t* ok,
+                                         int n_threads, int flags) {
   if (n_threads <= 0) {
     n_threads = std::max(1u, std::thread::hardware_concurrency());
   }
@@ -246,7 +281,7 @@ extern "C" int geoingest_decode_batch(const char** blobs,
       std::memset(dst, 0, img_bytes);
       const bool success = process_one(
           reinterpret_cast<const uint8_t*>(blobs[i]), lens[i], resize_to,
-          base_size, dst);
+          base_size, dst, flags);
       ok[i] = success ? 1 : 0;
       if (success) good.fetch_add(1);
     }
@@ -256,4 +291,13 @@ extern "C" int geoingest_decode_batch(const char** blobs,
   for (int t = 0; t < n_threads; ++t) pool.emplace_back(worker);
   for (auto& th : pool) th.join();
   return good.load();
+}
+
+extern "C" int geoingest_decode_batch(const char** blobs,
+                                      const size_t* lens, int n,
+                                      int resize_to, int base_size,
+                                      uint8_t* out, uint8_t* ok,
+                                      int n_threads) {
+  return geoingest_decode_batch_ex(blobs, lens, n, resize_to, base_size,
+                                   out, ok, n_threads, 0);
 }

@@ -20,6 +20,11 @@ extern "C" int geoingest_decode_batch(const char** blobs, const size_t* lens,
                                       int n, int resize_to, int base_size,
                                       uint8_t* out, uint8_t* ok,
                                       int n_threads);
+extern "C" int geoingest_decode_batch_ex(const char** blobs,
+                                         const size_t* lens, int n,
+                                         int resize_to, int base_size,
+                                         uint8_t* out, uint8_t* ok,
+                                         int n_threads, int flags);
 
 #define CHECK(cond)                                                   \
   do {                                                                \
@@ -96,6 +101,21 @@ int main(int argc, char** argv) {
   bool nonzero = false;
   for (size_t k = 0; k < img && !nonzero; ++k) nonzero = out_a[k] != 0;
   CHECK(nonzero);
+
+  // Scaled-decode path (flags bit 0): same ok pattern, thread-count
+  // independent, under the same mixed valid/corrupt/empty concurrency.
+  std::vector<uint8_t> out_c(n * img, 0x22), ok_c(n, 0x22);
+  std::vector<uint8_t> out_d(n * img, 0x33), ok_d(n, 0x33);
+  const int good_c = geoingest_decode_batch_ex(
+      blobs.data(), lens.data(), n, resize_to, base, out_c.data(),
+      ok_c.data(), 8, 1);
+  const int good_d = geoingest_decode_batch_ex(
+      blobs.data(), lens.data(), n, resize_to, base, out_d.data(),
+      ok_d.data(), 3, 1);
+  CHECK(good_c == good_a);
+  CHECK(good_d == good_c);
+  for (int i = 0; i < n; ++i) CHECK(ok_c[i] == ok_a[i] && ok_d[i] == ok_c[i]);
+  CHECK(std::memcmp(out_c.data(), out_d.data(), out_c.size()) == 0);
 
   std::puts("ingest_test OK");
   return 0;

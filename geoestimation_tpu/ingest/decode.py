@@ -41,11 +41,22 @@ IMAGENET_MEAN = (0.485, 0.456, 0.406)
 IMAGENET_STD = (0.229, 0.224, 0.225)
 
 
-def decode_pil(data: bytes, resize_to=DEFAULT_RESIZE, base_size=DEFAULT_BASE):
-    """bytes -> (base_size, base_size, 3) uint8. PIL reference path."""
+def decode_pil(data: bytes, resize_to=DEFAULT_RESIZE, base_size=DEFAULT_BASE,
+               fast_scale=False):
+    """bytes -> (base_size, base_size, 3) uint8. PIL reference path.
+
+    fast_scale=True uses PIL's JPEG draft mode (scaled DCT decode, same
+    trick as the native path's flags bit 0): the decoder itself emits the
+    smallest 1/2^k scale covering `resize_to`, and the final resize still
+    targets the geometry derived from the ORIGINAL dims — identical
+    shapes, slightly different pixels, several times faster on large
+    photos. No-op for non-JPEG formats and for already-small images.
+    """
     img = Image.open(io.BytesIO(data))
+    w, h = img.size  # header dims, pre-draft: geometry source of truth
+    if fast_scale:
+        img.draft("RGB", (resize_to, resize_to))
     img = img.convert("RGB")
-    w, h = img.size
     scale = resize_to / min(w, h)
     # Resize shorter side; never upscale-skip (keeps torchvision semantics).
     nw, nh = max(int(round(w * scale)), resize_to), max(
@@ -64,10 +75,14 @@ def decode_batch(
     base_size=DEFAULT_BASE,
     num_threads: Optional[int] = None,
     backend: str = "auto",
+    fast_scale: bool = False,
 ):
     """Decode many JPEG byte strings -> (N, base, base, 3) uint8.
 
     backend: 'auto' (native if built), 'turbo', or 'pil'.
+    fast_scale: scaled DCT decode for JPEGs (see decode_pil) — several
+    times faster host ingest on large photos, slightly different pixels;
+    OFF on the default parity path.
     Undecodable blobs yield a zero image and are flagged in the returned
     `ok` mask (the reference's downloader tolerates rotten images,
     README.md:192-194 — eval code must too).
@@ -81,20 +96,21 @@ def decode_batch(
         is_jpeg = [b[:2] == b"\xff\xd8" for b in blobs]
         if all(is_jpeg):
             return native.decode_batch(blobs, resize_to, base_size,
-                                       num_threads=num_threads or 0)
+                                       num_threads=num_threads or 0,
+                                       fast_scale=fast_scale)
         out = np.zeros((len(blobs), base_size, base_size, 3), np.uint8)
         ok = np.zeros(len(blobs), bool)
         jpeg_idx = [i for i, j in enumerate(is_jpeg) if j]
         if jpeg_idx:
             sub, sub_ok = native.decode_batch(
                 [blobs[i] for i in jpeg_idx], resize_to, base_size,
-                num_threads=num_threads or 0,
+                num_threads=num_threads or 0, fast_scale=fast_scale,
             )
             out[jpeg_idx], ok[jpeg_idx] = sub, sub_ok
         other_idx = [i for i, j in enumerate(is_jpeg) if not j]
         sub, sub_ok = decode_batch(
             [blobs[i] for i in other_idx], resize_to, base_size,
-            num_threads, backend="pil",
+            num_threads, backend="pil", fast_scale=fast_scale,
         )
         out[other_idx], ok[other_idx] = sub, sub_ok
         return out, ok
@@ -105,7 +121,8 @@ def decode_batch(
 
     def work(i):
         try:
-            out[i] = decode_pil(blobs[i], resize_to, base_size)
+            out[i] = decode_pil(blobs[i], resize_to, base_size,
+                                fast_scale=fast_scale)
             ok[i] = True
         except Exception:
             pass

@@ -136,7 +136,8 @@ class MicroBatcher:
 class GeoInferenceServer:
     def __init__(self, engine, host: str = "127.0.0.1", port: int = 8500,
                  batch_size: int = 16, max_wait_ms: float = 5.0,
-                 resize_to: int = 256, base_size: int = 256):
+                 resize_to: int = 256, base_size: int = 256,
+                 fast_decode: bool = False):
         from ..ingest import decode
 
         self.engine = engine
@@ -145,7 +146,8 @@ class GeoInferenceServer:
             max_wait_ms=max_wait_ms, base_size=base_size,
         )
         self._decode = lambda blob: decode.decode_batch(
-            [blob], resize_to=resize_to, base_size=base_size
+            [blob], resize_to=resize_to, base_size=base_size,
+            fast_scale=fast_decode,
         )
         server = self
 
@@ -265,6 +267,10 @@ def main(argv=None):
                    choices=["absmax", "p999", "p9999"])
     p.add_argument("--recalibrate", action="store_true",
                    help="ignore any cached int8_scales.json")
+    p.add_argument("--fast_decode", action="store_true",
+                   help="scaled DCT JPEG decode for request images and "
+                        "calibration (faster host path on large photos; "
+                        "slightly different pixels)")
     args = p.parse_args(argv)
     if args.cpu:
         import jax
@@ -302,6 +308,7 @@ def main(argv=None):
         calib_stat=args.calib_stat,
         int8_persist=not synthetic_calib,
         int8_recalibrate=args.recalibrate,
+        fast_decode=args.fast_decode,
         search_dirs=[os.path.dirname(os.path.abspath(args.checkpoint)),
                      args.checkpoint, os.getcwd()],
     )
@@ -330,7 +337,8 @@ def main(argv=None):
 
     server = GeoInferenceServer(engine, host=args.host, port=args.port,
                                 batch_size=args.batch_size,
-                                max_wait_ms=args.max_wait_ms)
+                                max_wait_ms=args.max_wait_ms,
+                                fast_decode=args.fast_decode)
     print(f"serving on {args.host}:{server.port} "
           f"(batch={args.batch_size}, wait={args.max_wait_ms}ms)")
     server.serve_forever()

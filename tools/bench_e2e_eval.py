@@ -123,6 +123,10 @@ def main(argv=None):
     p.add_argument("--num_workers", type=int, default=None,
                    help="decode threads (default: cpu count)")
     p.add_argument("--cpu", action="store_true")
+    p.add_argument("--fast_decode", action="store_true",
+                   help="scaled DCT JPEG decode (ingest.decode fast_scale)"
+                        " — the production host-ingest mode for large "
+                        "photos; measured alongside the budget numbers")
     p.add_argument("--json", dest="json_out", default=None)
     args = p.parse_args(argv)
     if args.cpu:
@@ -158,7 +162,8 @@ def main(argv=None):
 
     # warmup / compile on one batch
     for fb in iter_image_folder(image_dir, batch_size=args.batch_size,
-                                num_workers=args.num_workers):
+                                num_workers=args.num_workers,
+                                fast_decode=args.fast_decode):
         import jax.numpy as jnp
 
         out = forward(jnp.asarray(fb.images))
@@ -171,7 +176,7 @@ def main(argv=None):
                                for p in paths])
     t0 = time.perf_counter()
     decode.decode_batch(blobs, resize_to=256, base_size=256,
-                        num_threads=1)
+                        num_threads=1, fast_scale=args.fast_decode)
     decode_rate_1core = len(blobs) / (time.perf_counter() - t0)
 
     # the measured run: real folder pipeline, decode prefetch overlapping
@@ -183,7 +188,8 @@ def main(argv=None):
     device_busy = 0.0
     wall0 = time.perf_counter()
     for fb in iter_image_folder(image_dir, batch_size=args.batch_size,
-                                num_workers=args.num_workers):
+                                num_workers=args.num_workers,
+                                fast_decode=args.fast_decode):
         t0 = time.perf_counter()
         out = forward(jnp.asarray(fb.images))
         jax.device_get(jax.tree.leaves(out)[0][:1])
@@ -216,6 +222,7 @@ def main(argv=None):
         "batch_size": args.batch_size,
         "crops": args.crops,
         "precision": args.precision,
+        "fast_decode": bool(args.fast_decode),
         "arch": args.arch,
         "platform": jax.devices()[0].platform,
         "device_busy_frac": round(device_busy / wall, 4),
