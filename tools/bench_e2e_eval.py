@@ -39,13 +39,20 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import numpy as np
 
 
-def generate_corpus(out_dir, n_images, seed=0):
+def generate_corpus(out_dir, n_images, seed=0, img_size=0):
     """Textured JPEGs (tools/make_demo_world.textured_image) — realistic
-    decode cost, varied content."""
+    decode cost, varied content. img_size=0 keeps the historical small
+    near-base sizes (256-340 px); img_size=N emits ~N-px photos (use
+    ~1024 for Flickr-typical decode cost, where --fast_decode pays)."""
     from tools.make_demo_world import textured_image
 
     rng = np.random.default_rng(seed)
-    sizes = [(320, 280), (340, 256), (280, 300), (256, 256)]
+    if img_size:
+        s = img_size
+        sizes = [(s, s * 3 // 4), (s * 3 // 4, s), (s, s * 2 // 3),
+                 (s * 7 // 8, s * 7 // 8)]
+    else:
+        sizes = [(320, 280), (340, 256), (280, 300), (256, 256)]
     for i in range(n_images):
         w, h = sizes[i % len(sizes)]
         blob = textured_image(rng, i % 3, i % 4, w, h)
@@ -115,6 +122,9 @@ def main(argv=None):
     p.add_argument("--image_dir", default=None,
                    help="existing corpus (default: generate one)")
     p.add_argument("--n_images", type=int, default=1024)
+    p.add_argument("--img_size", type=int, default=0,
+                   help="generated-corpus photo size (0: historical "
+                        "256-340 px; ~1024 for Flickr-typical)")
     p.add_argument("--batch_size", type=int, default=64)
     p.add_argument("--crops", type=int, default=10, choices=[1, 5, 10])
     p.add_argument("--precision", default="int8",
@@ -154,7 +164,7 @@ def main(argv=None):
         tmp = tempfile.TemporaryDirectory(prefix="e2e_corpus_")
         image_dir = tmp.name
         t0 = time.perf_counter()
-        generate_corpus(image_dir, args.n_images)
+        generate_corpus(image_dir, args.n_images, img_size=args.img_size)
         print(f"generated {args.n_images} JPEGs in "
               f"{time.perf_counter() - t0:.1f}s", flush=True)
 
@@ -223,6 +233,7 @@ def main(argv=None):
         "crops": args.crops,
         "precision": args.precision,
         "fast_decode": bool(args.fast_decode),
+        "img_size": args.img_size,
         "arch": args.arch,
         "platform": jax.devices()[0].platform,
         "device_busy_frac": round(device_busy / wall, 4),

@@ -65,6 +65,12 @@ def main(argv=None):
         description="int8 PTQ flip-rate / GCD-delta study vs fp32")
     p.add_argument("--checkpoint", required=True)
     p.add_argument("--hparams", default=None)
+    p.add_argument("--ref_checkpoint", default=None,
+                   help="checkpoint providing the fp32 exact reference "
+                        "tables (default: --checkpoint itself). Use for "
+                        "distilled/fine-tuned serving checkpoints "
+                        "(tools/tta_distill.py) where parity is against "
+                        "the ORIGINAL model's exact predictions")
     p.add_argument("--image_dir", required=True)
     p.add_argument("--meta", required=True)
     p.add_argument("--calib_dir", default=None,
@@ -151,6 +157,18 @@ def main(argv=None):
     import dataclasses as _dc
 
     model = _dc.replace(model, dtype=jnp.float32)
+    ref_model, ref_variables = model, variables
+    if args.ref_checkpoint:
+        ref_config, ref_state = load_for_inference(args.ref_checkpoint)
+        if tuple(ref_config.model_params.partitionings.files) != \
+                tuple(mp.partitionings.files):
+            raise SystemExit(
+                "--ref_checkpoint must share the partitioning files "
+                "with --checkpoint (its tables are the parity target)")
+        ref_variables = {"params": ref_state["params"],
+                         "batch_stats": ref_state["batch_stats"]}
+        ref_model = _dc.replace(
+            model_from_config(ref_config, parts), dtype=jnp.float32)
     n_crops = args.crops
 
     # --- calibration: one sampling pass, scales per grid point ---------
