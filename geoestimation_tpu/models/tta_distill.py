@@ -186,22 +186,45 @@ def teacher_log_probs(exact_apply, folded, base_u8, n_crops,
         for l in logits)
 
 
+def _fold_log_probs(logits, n_crops, tta_fold):
+    from ..eval.infer import mean_tta_logits
+
+    return [jax.nn.log_softmax(
+        mean_tta_logits(l, n_crops, tta_fold), axis=-1) for l in logits]
+
+
+def _kl_terms(teacher_lp, student_lp):
+    kls, agrees = [], []
+    for t, s_ in zip(teacher_lp, student_lp):
+        pt = jnp.exp(t)
+        kls.append(jnp.mean(jnp.sum(pt * (t - s_), axis=-1)))
+        agrees.append(jnp.mean(
+            (jnp.argmax(t, -1) == jnp.argmax(s_, -1))
+            .astype(jnp.float32)))
+    return kls, agrees
+
+
 def make_distill_step(ftta_apply, tx, n_crops, tta_fold="prob_mean",
-                      train_scope="all", level=3, arch="resnet50"):
+                      train_scope="all", level=3, arch="resnet50",
+                      exact_apply=None, anchor_weight=1.0):
     """Returns jittable `step(folded, opt_state, base_u8, teacher_lp)
     -> (folded, opt_state, metrics)`.
 
-    Loss: sum over heads of KL(teacher || student) between TTA-folded
-    probabilities — the exact quantity the downstream f* rule consumes.
-    metrics: total kl, per-head kl, per-head post-fold argmax agreement.
+    Loss: sum over heads of KL(teacher || student_ftta), plus — when
+    `exact_apply` is given — `anchor_weight` x KL(teacher ||
+    student_exact). The anchor term is essential: without it the weights
+    drift to match feature-TTA on the distillation images while the
+    EXACT path's predictions walk away from the original teacher
+    (measured: a passing exact path pushed past the parity budget by an
+    unanchored distill). With it, the loss is exactly the pair of
+    quantities the parity verdict measures. All terms are TTA-folded
+    probabilities — what the downstream f* rule consumes.
+    metrics: kl (ftta), kl_anchor, per-head kl, per-head post-fold
+    argmax agreement.
 
     train_scope: 'all' (default) fine-tunes everything; 'rest' freezes
     the shared trunk (stem + stages 1..level) and trains only the
-    per-crop stages + head — the exported checkpoint's exact-path
-    predictions then drift less, at the cost of less capacity to absorb
-    the border error."""
-    from ..eval.infer import mean_tta_logits
-
+    per-crop stages + head."""
     if train_scope not in ("all", "rest"):
         raise ValueError("train_scope must be 'all' or 'rest'")
     frozen_blocks = set()
@@ -223,28 +246,45 @@ def make_distill_step(ftta_apply, tx, n_crops, tta_fold="prob_mean",
         x = base_u8.astype(jnp.float32) - 128.0
 
         def loss_fn(f):
-            logits = ftta_apply(f, x)
-            s_lp = [jax.nn.log_softmax(
-                mean_tta_logits(l, n_crops, tta_fold), axis=-1)
-                for l in logits]
-            kls, agrees = [], []
-            for t, s_ in zip(teacher_lp, s_lp):
-                pt = jnp.exp(t)
-                kls.append(jnp.mean(jnp.sum(pt * (t - s_), axis=-1)))
-                agrees.append(jnp.mean(
-                    (jnp.argmax(t, -1) == jnp.argmax(s_, -1))
-                    .astype(jnp.float32)))
-            return sum(kls), (kls, agrees)
+            s_lp = _fold_log_probs(ftta_apply(f, x), n_crops, tta_fold)
+            kls, agrees = _kl_terms(teacher_lp, s_lp)
+            loss = sum(kls)
+            anchor = jnp.float32(0.0)
+            if exact_apply is not None:
+                e_lp = _fold_log_probs(exact_apply(f, x), n_crops,
+                                       tta_fold)
+                a_kls, _ = _kl_terms(teacher_lp, e_lp)
+                anchor = sum(a_kls)
+                loss = loss + anchor_weight * anchor
+            return loss, (kls, agrees, anchor)
 
-        (loss, (kls, agrees)), grads = jax.value_and_grad(
+        (_, (kls, agrees, anchor)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(folded)
         grads = freeze_mask(grads)
         updates, opt_state = tx.update(grads, opt_state, folded)
         folded = jax.tree.map(lambda p, u: p + u, folded, updates)
-        metrics = {"kl": loss}
+        metrics = {"kl": sum(kls), "kl_anchor": anchor}
         for i, (k, a) in enumerate(zip(kls, agrees)):
             metrics[f"kl_head{i}"] = k
             metrics[f"agree_head{i}"] = a
         return folded, opt_state, metrics
 
     return step
+
+
+def make_eval_kl(ftta_apply, exact_apply, n_crops, tta_fold="prob_mean"):
+    """Returns jittable `eval_kl(folded, base_u8, teacher_lp) ->
+    (kl_ftta, kl_exact)` — the full verdict pair on one batch, no grad.
+    The distillation driver averages it over the WHOLE distillation set
+    at log points and snapshots the best: per-batch train KL is too
+    noisy a criterion (different batches at different log points)."""
+
+    def eval_kl(folded, base_u8, teacher_lp):
+        x = base_u8.astype(jnp.float32) - 128.0
+        s_lp = _fold_log_probs(ftta_apply(folded, x), n_crops, tta_fold)
+        kls, _ = _kl_terms(teacher_lp, s_lp)
+        e_lp = _fold_log_probs(exact_apply(folded, x), n_crops, tta_fold)
+        e_kls, _ = _kl_terms(teacher_lp, e_lp)
+        return sum(kls), sum(e_kls)
+
+    return eval_kl

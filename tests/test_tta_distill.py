@@ -160,3 +160,33 @@ class TestDistillation:
             agree = np.mean(np.argmax(np.asarray(gf), -1)
                             == np.argmax(np.asarray(wf), -1))
             assert agree == 1.0
+
+    def test_anchored_step_and_eval_kl(self, tiny):
+        """The anchor term: exact-path KL is exactly 0 at init (student
+        == teacher), stays finite through a step, and make_eval_kl
+        reports the verdict pair."""
+        import optax
+
+        from geoestimation_tpu.models.tta_distill import make_eval_kl
+
+        exact = build_exact_tta_apply(ARCH, N_CLASSES, crop=48, n_crops=10)
+        ftta = build_ftta_apply(ARCH, N_CLASSES, level=2, crop=48,
+                                n_crops=10)
+        base = jnp.asarray(tiny["images"])
+        teacher = teacher_log_probs(exact, tiny["folded"], base, 10)
+        eval_kl = jax.jit(make_eval_kl(ftta, exact, 10))
+        kf0, ke0 = eval_kl(tiny["folded"], base, teacher)
+        assert float(ke0) == pytest.approx(0.0, abs=1e-5)
+        assert float(kf0) >= 0.0
+
+        tx = optax.adam(1e-4)
+        step = jax.jit(make_distill_step(
+            ftta, tx, 10, level=2, arch=ARCH, exact_apply=exact,
+            anchor_weight=1.0))
+        folded, _, m = step(tiny["folded"], tx.init(tiny["folded"]),
+                            base, teacher)
+        assert float(m["kl_anchor"]) == pytest.approx(0.0, abs=1e-5)
+        assert np.isfinite(float(m["kl"]))
+        assert not np.array_equal(
+            np.asarray(folded["heads"]["fused_head"]["kernel"]),
+            np.asarray(tiny["folded"]["heads"]["fused_head"]["kernel"]))

@@ -308,6 +308,14 @@ def main(argv=None):
                          for t in THRESHOLDS_KM}
             max_delta = max(max_delta,
                             max(abs(v) for v in deltas[k].values()))
+        # Signed companion metric: worst DEGRADATION (accuracy lost vs
+        # the reference). The strict verdict stays symmetric |delta| —
+        # but a cell can exceed the budget by being BETTER than the
+        # reference (observed in the distillation studies), and the two
+        # readings answer different questions (bit-parity vs did-the-
+        # optimization-hurt), so both are reported.
+        max_degradation = max(
+            0.0, -min(min(d.values()) for d in deltas.values()))
         ok = max_delta <= args.budget
         any_pass = any_pass or ok
         if g[2] == "exact":
@@ -319,10 +327,13 @@ def main(argv=None):
         name = f"{g[0]}@{g[1]:g}" + suffix
         print(f"{name:<16}{max_delta:>14.3f}  "
               + "".join(f"{100 * flips[k]:>15.2f}%" for k in pred_keys)
-              + ("   PASS" if ok else "   FAIL"))
+              + ("   PASS" if ok else "   FAIL")
+              + (f"  (worst degradation {max_degradation:.3f} pt)"
+                 if not ok else ""))
         results["configs"][name] = {
             "stat": g[0], "headroom": g[1], "tta": g[2],
             "max_abs_gcd_delta_pt": max_delta,
+            "max_degradation_pt": max_degradation,
             "within_budget": ok,
             "flip_rates": flips,
             "gcd_deltas_pt": deltas,

@@ -63,6 +63,11 @@ def main(argv=None):
     p.add_argument("--train_scope", default="all", choices=["all", "rest"],
                    help="'rest': freeze the shared trunk, train only the "
                         "per-crop stages + head")
+    p.add_argument("--anchor_weight", type=float, default=1.0,
+                   help="weight of the KL(teacher || student_EXACT) "
+                        "anchor term; 0 disables (measured: unanchored "
+                        "distillation drifts the exact path past the "
+                        "parity budget)")
     p.add_argument("--tta_fold", default="prob_mean")
     p.add_argument("--calib_images", type=int, default=64)
     p.add_argument("--log_every", type=int, default=20)
@@ -104,6 +109,7 @@ def main(argv=None):
         build_exact_tta_apply,
         build_ftta_apply,
         make_distill_step,
+        make_eval_kl,
         teacher_log_probs,
     )
     from geoestimation_tpu.train.checkpoint import (
@@ -163,36 +169,56 @@ def main(argv=None):
         make_distill_step(ftta_apply, tx, args.crops,
                           tta_fold=args.tta_fold,
                           train_scope=args.train_scope,
-                          level=args.level, arch=mp.arch),
+                          level=args.level, arch=mp.arch,
+                          exact_apply=(exact_apply if args.anchor_weight
+                                       else None),
+                          anchor_weight=args.anchor_weight),
         donate_argnums=(0, 1))
+    eval_kl_fn = jax.jit(make_eval_kl(ftta_apply, exact_apply, args.crops,
+                                      tta_fold=args.tta_fold))
 
-    # Best-KL retention: the export is the lowest-KL snapshot seen at a
-    # log point, not blindly the last step — distillation from an
-    # already-good start can wander, and the cost of a snapshot is one
-    # host transfer per log_every steps.
-    best_kl, best_folded = float("inf"), jax.device_get(folded)
+    def full_eval_kl(f):
+        """Verdict pair (ftta KL, exact KL) averaged over the WHOLE set."""
+        tot_f = tot_e = 0.0
+        for b, t in zip(batches, teachers):
+            kf, ke = eval_kl_fn(f, jnp.asarray(b),
+                                tuple(jnp.asarray(x) for x in t))
+            tot_f += float(kf)
+            tot_e += float(ke)
+        return tot_f / len(batches), tot_e / len(batches)
+
+    # Best-verdict retention: at every log point the verdict pair
+    # (ftta KL, exact-anchor KL) is evaluated over the WHOLE
+    # distillation set (per-batch train KL is too noisy to compare
+    # across log points), and the lowest-total snapshot is exported —
+    # distillation from an already-good start can wander, and this makes
+    # the tool strictly non-harmful.
+    kf0, ke0 = full_eval_kl(folded)
+    best_kl, best_folded = kf0 + ke0, jax.device_get(folded)
+    print(f"start     ftta-kl {kf0:.5f}  exact-kl {ke0:.5f}", flush=True)
     t0 = time.time()
     for i in range(args.steps):
-        j = i % len(batches)
-        log_point = i % args.log_every == 0 or i == args.steps - 1
-        # the step's reported kl is the PRE-update loss, so snapshot the
-        # pre-update params — they are what the number describes
-        snap = jax.device_get(folded) if log_point else None
-        folded, opt_state, m = step_fn(
-            folded, opt_state, jnp.asarray(batches[j]),
-            tuple(jnp.asarray(t) for t in teachers[j]))
-        if log_point:
-            kl = float(m["kl"])
-            agree = float(np.mean([float(m[k]) for k in m
-                                   if k.startswith("agree")]))
-            new_best = kl < best_kl
+        # evaluate the DEVICE-RESIDENT params before the (donating) step
+        # — snapshotting to host first would re-transfer the full model
+        # per eval batch on a tunneled device
+        if i and (i % args.log_every == 0 or i == args.steps - 1):
+            kf, ke = full_eval_kl(folded)
+            new_best = kf + ke < best_kl
             if new_best:
-                best_kl, best_folded = kl, snap
-            print(f"step {i:5d}  kl {kl:.5f}  "
-                  f"fold-argmax agree {agree:.3f}  "
+                best_kl, best_folded = kf + ke, jax.device_get(folded)
+            print(f"step {i:5d}  ftta-kl {kf:.5f}  exact-kl {ke:.5f}  "
                   f"({time.time() - t0:.0f}s)"
                   + ("  [best]" if new_best else ""), flush=True)
-    print(f"exporting best snapshot (kl {best_kl:.5f})", flush=True)
+        j = i % len(batches)
+        folded, opt_state, _ = step_fn(
+            folded, opt_state, jnp.asarray(batches[j]),
+            tuple(jnp.asarray(t) for t in teachers[j]))
+    # the final post-update state gets a verdict too
+    kf, ke = full_eval_kl(folded)
+    if kf + ke < best_kl:
+        best_kl, best_folded = kf + ke, jax.device_get(folded)
+    print(f"final     ftta-kl {kf:.5f}  exact-kl {ke:.5f}", flush=True)
+    print(f"exporting best snapshot (total kl {best_kl:.5f})", flush=True)
 
     # --- export ----------------------------------------------------------
     new_vars = unfold_to_variables(best_folded, variables, arch=mp.arch)
