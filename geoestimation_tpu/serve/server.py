@@ -13,6 +13,9 @@ amortizing the per-dispatch overhead while keeping XLA shapes static.
 
 Endpoints:
   POST /predict     body = JPEG bytes -> JSON {p_key: {class, lat, lng}}
+  GET  /            browser demo page (serve/demo_page.py) — the
+                    framework-native replacement for the reference's
+                    gh-pages web demo (reference README.md:69-71)
   GET  /healthz     liveness + device info
   GET  /stats       counters (requests, batches, mean batch occupancy)
 
@@ -164,7 +167,17 @@ class GeoInferenceServer:
                 self.wfile.write(body)
 
             def do_GET(self):
-                if self.path == "/healthz":
+                if self.path in ("/", "/demo"):
+                    from .demo_page import DEMO_HTML
+
+                    body = DEMO_HTML.encode()
+                    self.send_response(200)
+                    self.send_header("Content-Type",
+                                     "text/html; charset=utf-8")
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
+                elif self.path == "/healthz":
                     import jax
 
                     self._json(200, {

@@ -113,6 +113,20 @@ class TestHTTP:
             urllib.request.urlopen(req, timeout=30)
         assert e.value.code == 400
 
+    def test_demo_page(self, server):
+        """GET / serves the self-contained browser demo (the reference's
+        gh-pages demo equivalent, reference README.md:69-71)."""
+        for path in ("/", "/demo"):
+            with urllib.request.urlopen(self.url(server, path)) as r:
+                assert r.status == 200
+                assert r.headers["Content-Type"].startswith("text/html")
+                html = r.read().decode()
+            # page must be self-contained: posts to /predict, draws the
+            # map inline, and references no external origin
+            assert "/predict" in html
+            assert "<svg" in html
+            assert "http://" not in html and "https://" not in html
+
     def test_stats(self, server):
         with urllib.request.urlopen(self.url(server, "/stats")) as r:
             data = json.loads(r.read())
