@@ -124,8 +124,12 @@ def _measure(batch: int, iters: int) -> float:
     from geoestimation_tpu.models import MultiPartitioningClassifier
 
     n_crops = 10
+    # BENCH_ARCH: resnet50 (the headline metric) or resnet101 (the legacy
+    # paper config). Arch-specific scales caches and A/B notes all key off
+    # this; the metric name carries the arch so numbers are never conflated.
+    arch = os.environ.get("BENCH_ARCH", "resnet50")
     model = MultiPartitioningClassifier(
-        n_classes=REAL_CLASS_COUNTS, arch="resnet50", dtype=jnp.bfloat16
+        n_classes=REAL_CLASS_COUNTS, arch=arch, dtype=jnp.bfloat16
     )
     variables = model.init(
         jax.random.PRNGKey(0), jnp.zeros((1, 224, 224, 3), jnp.float32),
@@ -164,11 +168,13 @@ def _measure(batch: int, iters: int) -> float:
         )
         from geoestimation_tpu.ingest.pipeline import eval_pipeline_s8
 
-        qnet = quantize_model(variables, arch="resnet50")
+        qnet = quantize_model(variables, arch=arch)
         qhash = weights_hash(qnet)
+        scales_name = ("bench_int8_scales.json" if arch == "resnet50"
+                       else f"bench_int8_scales_{arch}.json")
         scales_path = os.path.join(
             os.path.dirname(os.path.abspath(__file__)),
-            "tools", "bench_int8_scales.json")
+            "tools", scales_name)
         scales = None
         if os.path.exists(scales_path):
             try:
@@ -179,12 +185,12 @@ def _measure(batch: int, iters: int) -> float:
             if obj is not None:
                 # hash-checked: any change to the bench model generation
                 # recalibrates instead of silently reusing stale scales
-                scales, _why = unpack_scales(obj, "resnet50",
+                scales, _why = unpack_scales(obj, arch,
                                              expect_hash=qhash)
         if not scales:
             calib = np.random.default_rng(123).integers(
                 0, 255, (8, 256, 256, 3), dtype=np.uint8)
-            scales = calibrate(variables, [calib], arch="resnet50",
+            scales = calibrate(variables, [calib], arch=arch,
                                n_crops=n_crops, crop=224)
             try:  # best-effort refresh so the next run skips calibration
                 tmp = f"{scales_path}.tmp.{os.getpid()}"
@@ -204,7 +210,7 @@ def _measure(batch: int, iters: int) -> float:
             from geoestimation_tpu.models.resnet import STAGE_SIZES
 
             scales = unify_stage_out_scales(scales,
-                                            STAGE_SIZES["resnet50"])
+                                            STAGE_SIZES[arch])
         # BENCH_TTA=feature: feature-space ten-crop TTA (trunk once per
         # base image + mirror, crops at the layer3 feature map —
         # models/quant.py feature_tta docs; accuracy evidence:
@@ -258,7 +264,7 @@ def _measure(batch: int, iters: int) -> float:
         )
 
         ftta_apply = build_feature_tta_apply(
-            variables, "resnet50", n_classes=REAL_CLASS_COUNTS,
+            variables, arch, n_classes=REAL_CLASS_COUNTS,
             n_crops=n_crops,
             level=int(os.environ.get("BENCH_TTA_LEVEL", "3")))
 
@@ -271,7 +277,7 @@ def _measure(batch: int, iters: int) -> float:
         from geoestimation_tpu.models.fast_infer import build_fast_apply
 
         fast_apply = build_fast_apply(
-            variables, "resnet50", n_classes=REAL_CLASS_COUNTS,
+            variables, arch, n_classes=REAL_CLASS_COUNTS,
             use_pallas=os.environ.get("BENCH_PALLAS", "0") == "1",
         )
 
@@ -314,6 +320,11 @@ def _measure(batch: int, iters: int) -> float:
     return batch * iters / dt / jax.device_count()
 
 
+def _metric_name() -> str:
+    arch = os.environ.get("BENCH_ARCH", "resnet50")
+    return f"ten_crop_images_per_sec_per_chip_{arch}"
+
+
 def main():
     errors: list = []
     platform = "tpu"
@@ -321,7 +332,7 @@ def main():
         import jax  # noqa: F401
     except Exception as e:  # jax import itself broken
         _emit({
-            "metric": "ten_crop_images_per_sec_per_chip_resnet50",
+            "metric": _metric_name(),
             "value": None, "unit": "images/sec/chip", "vs_baseline": None,
             "platform": "none",
             "error": f"jax unavailable: {type(e).__name__}: {e}",
@@ -339,7 +350,7 @@ def main():
     else:
         if os.environ.get("BENCH_ALLOW_CPU", "1") == "0":
             _emit({
-                "metric": "ten_crop_images_per_sec_per_chip_resnet50",
+                "metric": _metric_name(),
                 "value": None, "unit": "images/sec/chip",
                 "vs_baseline": None, "platform": "none",
                 "error": "TPU unavailable: " + " | ".join(errors),
@@ -369,7 +380,7 @@ def main():
     except Exception as e:  # noqa: BLE001 - always emit an artifact
         errors.append(f"measure: {type(e).__name__}: {e}")
         _emit({
-            "metric": "ten_crop_images_per_sec_per_chip_resnet50",
+            "metric": _metric_name(),
             "value": None, "unit": "images/sec/chip", "vs_baseline": None,
             "platform": platform,
             "error": " | ".join(errors),
@@ -377,7 +388,7 @@ def main():
         return 1
 
     result = {
-        "metric": "ten_crop_images_per_sec_per_chip_resnet50",
+        "metric": _metric_name(),
         "value": round(per_chip, 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(per_chip / TARGET_PER_CHIP, 4),
