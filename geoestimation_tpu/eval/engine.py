@@ -115,8 +115,8 @@ class InferenceEngine:
         checkpoint in the same directory recalibrates instead of
         silently reusing stale scales. After calibration the cache is
         written back unless int8_persist=False or the source was fewer
-        than 8 distinct images (e.g. a padded single-image serving
-        batch).
+        than MIN_DISTINCT_FOR_PERSIST (6) distinct images (e.g. a
+        padded single-image serving batch).
         calib_stat: 'absmax' | 'p999' | 'p9999' (quant.calibrate);
         calib_headroom: scale multiplier (>1 trades resolution for
         clipping margin); int8_recalibrate: ignore any cache.
@@ -168,8 +168,32 @@ class InferenceEngine:
             self._qnet = quantize_model(self.variables, mp.arch)
             self._qhash = weights_hash(self._qnet)
             self._n_classes = tuple(len(p) for p in partitionings)
+        if tta_mode not in ("device", "host_exact", "feature"):
+            raise ValueError(f"unknown tta_mode {tta_mode!r}")
+        if tta_mode == "feature" and n_crops not in (5, 10):
+            raise ValueError("feature TTA supports 5 or 10 crops")
         self._fast_apply = None
-        if fast:
+        self._feature_apply = None
+        if tta_mode == "feature" and not int8:
+            # bf16 feature TTA rides the folded-BN stage structure
+            # (supersedes `fast` — it is the folded path plus the
+            # feature-crop trick). The folded network computes in bf16;
+            # refuse a float32 request instead of silently downgrading.
+            if dtype != jnp.bfloat16:
+                raise ValueError(
+                    "feature TTA runs the bf16 folded-BN network; "
+                    "--precision 32 is not available in this mode "
+                    "(use --precision 16, or drop --feature_tta)")
+            from ..models.fast_infer import build_feature_tta_apply
+
+            self._feature_apply = build_feature_tta_apply(
+                self.variables, mp.arch,
+                n_classes=tuple(len(p) for p in partitionings),
+                use_pallas=use_pallas,
+                crop=crop, n_crops=n_crops, level=feature_tta_level)
+        elif fast and not int8:
+            # int8 and feature modes never call _fast_apply — skip the
+            # load-time BN fold instead of holding a dead pytree
             from ..models.fast_infer import build_fast_apply
 
             self._fast_apply = build_fast_apply(
@@ -177,21 +201,6 @@ class InferenceEngine:
                 n_classes=tuple(len(p) for p in partitionings),
                 use_pallas=use_pallas,
             )
-        if tta_mode not in ("device", "host_exact", "feature"):
-            raise ValueError(f"unknown tta_mode {tta_mode!r}")
-        if tta_mode == "feature" and n_crops not in (5, 10):
-            raise ValueError("feature TTA supports 5 or 10 crops")
-        self._feature_apply = None
-        if tta_mode == "feature" and not int8:
-            # bf16/fp32 feature TTA rides the folded-BN stage structure
-            # (supersedes `fast` — it is the folded path plus the
-            # feature-crop trick)
-            from ..models.fast_infer import build_feature_tta_apply
-
-            self._feature_apply = build_feature_tta_apply(
-                self.variables, mp.arch,
-                n_classes=tuple(len(p) for p in partitionings),
-                crop=crop, n_crops=n_crops, level=feature_tta_level)
         from .infer import TTA_FOLDS
 
         if tta_fold not in TTA_FOLDS:
@@ -293,13 +302,19 @@ class InferenceEngine:
                 if scales is not None and self._calib_dir:
                     # --calib_dir forces recalibration UNLESS the cache
                     # proves it was calibrated on exactly this set with
-                    # these settings
+                    # these settings AND the same pixel pipeline
+                    # (fast_decode / crop geometry change the activation
+                    # distribution the scales were fit to)
                     prov = why  # unpack returns provenance on success
                     if not (prov.get("source") == "calib_dir"
                             and prov.get("calib_fingerprint") == fingerprint
                             and prov.get("stat") == self._calib_stat
                             and prov.get("headroom")
-                            == self._calib_headroom):
+                            == self._calib_headroom
+                            and prov.get("fast_decode")
+                            == bool(self._fast_decode)
+                            and prov.get("crop") == self.crop
+                            and prov.get("n_crops") == self.n_crops):
                         scales, why = None, ("cache not from this "
                                              "calibration set/settings")
                 if scales is None:
@@ -316,6 +331,11 @@ class InferenceEngine:
             source = "calib_dir"
         if scales is None:
             arr = np.asarray(images_u8)
+            # Distinct IMAGES, not crops: count over the leading axis of
+            # the ORIGINAL array — a 5D host-precropped single image
+            # yields 10 distinct crops but is still one image, and its
+            # scales must not be persisted (MIN_DISTINCT_FOR_PERSIST).
+            n_images = len({bytes(im.tobytes()) for im in arr})
             if arr.ndim == 5:
                 arr = arr.reshape((-1,) + arr.shape[-3:])
                 n_crops = 1
@@ -326,7 +346,6 @@ class InferenceEngine:
                                stat=self._calib_stat,
                                headroom=self._calib_headroom)
             source = "first_batch"
-            n_images = len({bytes(im.tobytes()) for im in arr})
         varied_enough = (source == "calib_dir"  # explicit user choice
                          or n_images >= self.MIN_DISTINCT_FOR_PERSIST)
         if (path and source != "cache" and self._int8_persist
@@ -341,7 +360,10 @@ class InferenceEngine:
                                     source=source, n_images=n_images,
                                     stat=self._calib_stat,
                                     headroom=self._calib_headroom,
-                                    calib_fingerprint=fingerprint),
+                                    calib_fingerprint=fingerprint,
+                                    fast_decode=bool(self._fast_decode),
+                                    crop=self.crop,
+                                    n_crops=self.n_crops),
                         f, indent=1, sort_keys=True)
                 os.replace(tmp, path)
             except OSError:

@@ -315,6 +315,48 @@ def build_fast_apply(variables, arch="resnet50", n_classes=None,
     return apply
 
 
+def ftta_mirror_concat(base, n_crops):
+    """Trunk input for feature-space TTA: the base batch, plus its
+    horizontal mirror appended on the batch axis for n_crops=10
+    (flip(crop(x)) windows == same-offset windows of trunk(flip(x)) —
+    the five-crop offset set is mirror-closed). Shared by the bf16
+    (here), int8 (models/quant.py) and distillation
+    (models/tta_distill.py) feature-TTA paths — ONE geometry."""
+    if n_crops == 10:
+        return jnp.concatenate([base, base[:, :, ::-1, :]], axis=0)
+    return base
+
+
+def ftta_windows(feats, b, s, crop, n_crops, level):
+    """Crop-aligned windows of a trunk feature map, folded into batch:
+    (b or 2b, g, g, C) -> (b * n_crops, w, w, C).
+
+    `feats` is the shared trunk's output on `ftta_mirror_concat`'s
+    batch, at feature stride s // g. Raises unless the pixel crop grid
+    lands exactly on the feature grid (crop and s - crop aligned to 2x
+    the stride). Window order: the five corner/center offsets,
+    unflipped five first — a fixed within-image permutation of the
+    exact path's crop order, which every TTA fold is invariant to.
+    The single source of the feature-TTA geometry (see
+    ftta_mirror_concat)."""
+    g = feats.shape[1]
+    stride = s // g
+    if crop % stride or (s - crop) % (2 * stride):
+        raise ValueError(
+            f"feature TTA needs crop {crop} and base {s} aligned to "
+            f"2x the layer{level} stride ({stride})")
+    w = crop // stride
+    m = g - w
+    offs = [(0, 0), (0, m), (m, 0), (m, m), (m // 2, m // 2)]
+    u = feats[:b]
+    windows = [u[:, r:r + w, c:c + w] for r, c in offs]
+    if n_crops == 10:
+        f = feats[b:]
+        windows += [f[:, r:r + w, c:c + w] for r, c in offs]
+    xc = jnp.stack(windows, axis=1)
+    return xc.reshape((b * n_crops,) + xc.shape[2:])
+
+
 def build_feature_tta_apply(variables, arch="resnet50", n_classes=None,
                             use_pallas=False, crop=224, n_crops=10,
                             eps=1e-5, level=3):
@@ -353,27 +395,10 @@ def build_feature_tta_apply(variables, arch="resnet50", n_classes=None,
         b, s, s2_, _ = base_norm.shape
         if s != s2_:
             raise ValueError("feature TTA expects square base images")
-        x = base_norm
-        if n_crops == 10:
-            x = jnp.concatenate([x, x[:, :, ::-1, :]], axis=0)
+        x = ftta_mirror_concat(base_norm, n_crops)
         for fn in trunk:
             x = fn(x)
-        g = x.shape[1]
-        stride = s // g
-        if crop % stride or (s - crop) % (2 * stride):
-            raise ValueError(
-                f"feature TTA needs crop {crop} and base {s} aligned to "
-                f"2x the layer{level} stride ({stride})")
-        w = crop // stride
-        m = g - w
-        offs = [(0, 0), (0, m), (m, 0), (m, m), (m // 2, m // 2)]
-        u = x[:b]
-        windows = [u[:, r:r + w, c:c + w] for r, c in offs]
-        if n_crops == 10:
-            f = x[b:]
-            windows += [f[:, r:r + w, c:c + w] for r, c in offs]
-        xc = jnp.stack(windows, axis=1)
-        xc = xc.reshape((b * n_crops,) + xc.shape[2:])
+        xc = ftta_windows(x, b, s, crop, n_crops, level)
         for fn in rest_stages:
             xc = fn(xc)
         return inner.head_logits(xc)

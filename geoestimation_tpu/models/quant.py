@@ -218,14 +218,18 @@ def weights_hash(qnet) -> str:
 
 
 def pack_scales(scales, *, weights_hash, source, n_images, stat="absmax",
-                headroom=1.0, calib_fingerprint=None):
+                headroom=1.0, calib_fingerprint=None, **extra):
     """Wrap raw {site: scale} into the versioned on-disk format (v2).
 
     Provenance records HOW the scales were made — calibration source
     ('calib_dir' | 'first_batch' | 'synthetic'), the number of distinct
     images, the statistic, the headroom, optionally a fingerprint of the
     calibration file set — plus the weights hash that ties them to one
-    exact set of quantized weights."""
+    exact set of quantized weights. Any `extra` keyword (non-None,
+    JSON-serializable) is recorded verbatim — the engine uses this for
+    pixel-pipeline identity (fast_decode, crop, n_crops) so a cache
+    calibrated under a different decode/crop geometry is not silently
+    trusted by a --calib_dir run."""
     prov = {
         "weights_hash": weights_hash,
         "source": source,
@@ -235,6 +239,7 @@ def pack_scales(scales, *, weights_hash, source, n_images, stat="absmax",
     }
     if calib_fingerprint is not None:
         prov["calib_fingerprint"] = calib_fingerprint
+    prov.update({k: v for k, v in extra.items() if v is not None})
     return {
         "version": 2,
         "scales": {k: float(v) for k, v in scales.items()},
@@ -640,35 +645,16 @@ def build_int8_apply(qnet, act_scales, n_classes=None, feature_tta=None):
             f"(got {ft_level})")
 
     def apply_feature(base_s8):
+        from .fast_infer import ftta_mirror_concat, ftta_windows
+
         b, s, s2_, _ = base_s8.shape
         if s != s2_:
             raise ValueError("feature TTA expects square base images")
-        trunk_in = base_s8
-        if ft_n == 10:
-            # mirror trunk pass: flip(crop(x)) windows == same-offset
-            # windows of trunk(flip(x)) (the offset set is mirror-closed)
-            trunk_in = jnp.concatenate(
-                [base_s8, base_s8[:, :, ::-1, :]], axis=0)
-        x = stem_fn(trunk_in)
+        x = stem_fn(ftta_mirror_concat(base_s8, ft_n))
         for blocks in block_fns[:ft_level]:
             for blk in blocks:
                 x = blk(x)
-        g = x.shape[1]                    # feature grid (stride s // g)
-        stride = s // g
-        if ft_crop % stride or (s - ft_crop) % (2 * stride):
-            raise ValueError(
-                f"feature TTA needs crop {ft_crop} and base {s} aligned "
-                f"to 2x the layer{ft_level} stride ({stride})")
-        w = ft_crop // stride
-        m = g - w
-        offs = [(0, 0), (0, m), (m, 0), (m, m), (m // 2, m // 2)]
-        u = x[:b]
-        windows = [u[:, r:r + w, c:c + w] for r, c in offs]
-        if ft_n == 10:
-            f = x[b:]
-            windows += [f[:, r:r + w, c:c + w] for r, c in offs]
-        xc = jnp.stack(windows, axis=1)   # (b, n_crops, w, w, C)
-        xc = xc.reshape((b * ft_n,) + xc.shape[2:])
+        xc = ftta_windows(x, b, s, ft_crop, ft_n, ft_level)
         for blocks in block_fns[ft_level:]:
             for blk in blocks:
                 xc = blk(xc)

@@ -138,31 +138,15 @@ def build_ftta_apply(arch, n_classes, level=3, crop=224, n_crops=10):
         raise ValueError(f"level must be in [1, {len(stage_sizes) - 1}]")
 
     def apply(folded, base_m128):
+        from .fast_infer import ftta_mirror_concat, ftta_windows
+
         b, s, s2_, _ = base_m128.shape
         if s != s2_:
             raise ValueError("feature TTA expects square base images")
-        x = base_m128
-        if n_crops == 10:
-            x = jnp.concatenate([x, x[:, :, ::-1, :]], axis=0)
-        y = folded_stem(folded, x)
+        y = folded_stem(folded, ftta_mirror_concat(base_m128, n_crops))
         for stage in range(level):
             y = folded_stage(folded, y, stage, stage_sizes[stage])
-        g = y.shape[1]
-        stride = s // g
-        if crop % stride or (s - crop) % (2 * stride):
-            raise ValueError(
-                f"feature TTA needs crop {crop} and base {s} aligned to "
-                f"2x the layer{level} stride ({stride})")
-        w = crop // stride
-        m = g - w
-        offs = [(0, 0), (0, m), (m, 0), (m, m), (m // 2, m // 2)]
-        u = y[:b]
-        windows = [u[:, r:r + w, c:c + w] for r, c in offs]
-        if n_crops == 10:
-            f = y[b:]
-            windows += [f[:, r:r + w, c:c + w] for r, c in offs]
-        xc = jnp.stack(windows, axis=1)
-        xc = xc.reshape((b * n_crops,) + xc.shape[2:])
+        xc = ftta_windows(y, b, s, crop, n_crops, level)
         for stage in range(level, len(stage_sizes)):
             xc = folded_stage(folded, xc, stage, stage_sizes[stage])
         return folded_head(folded, xc, n_classes)

@@ -304,6 +304,53 @@ class TestInt8Engine:
                        "--calib_images", "4"])
         assert called["n"] == 1
 
+        # (d) round-3 review fix: same calib set but a DIFFERENT pixel
+        # pipeline (--fast_decode changes decoded pixels) must
+        # recalibrate, not trust the cache
+        called["n"] = 0
+        main(common + ["--image_dir", world["img_dir"], "--output",
+                       str(tmp_path / "d.csv"), "--fast_decode",
+                       "--calib_dir", world["img_dir"],
+                       "--calib_images", "4"])
+        assert called["n"] == 1, "fast_decode cache mismatch ignored"
+
+    def test_single_image_5d_crops_not_persisted(self, world, tmp_path):
+        """The calibration persist guard counts distinct IMAGES, not
+        crops (round-3 review fix): a host-precropped
+        (1, 10, crop, crop, 3) single-image batch yields 10 distinct
+        crops but its scales must NOT be baked into the cache."""
+        from geoestimation_tpu.eval.engine import InferenceEngine
+        from geoestimation_tpu.train.checkpoint import load_for_inference
+
+        config, state = load_for_inference(world["ckpt"])
+        path = str(tmp_path / "scales.json")
+        eng = InferenceEngine(config, state, search_dirs=[world["ckpt"]],
+                              n_crops=10, crop=64, int8=True,
+                              int8_scales_path=path,
+                              tta_mode="host_exact")
+        crops = RNG.integers(0, 255, (1, 10, 64, 64, 3), dtype=np.uint8)
+        eng.predict_batch(crops)
+        assert eng.int8_calib_source == "first_batch"
+        assert not os.path.exists(path), (
+            "single-image calibration scales were persisted")
+
+
+class TestEngineGuards:
+    def test_feature_tta_rejects_fp32(self, world):
+        """feature TTA rides the bf16 folded network; a float32 request
+        must fail loudly instead of silently computing in bf16
+        (round-3 review fix)."""
+        import jax.numpy as jnp
+
+        from geoestimation_tpu.eval.engine import InferenceEngine
+        from geoestimation_tpu.train.checkpoint import load_for_inference
+
+        config, state = load_for_inference(world["ckpt"])
+        with pytest.raises(ValueError, match="bf16"):
+            InferenceEngine(config, state, search_dirs=[world["ckpt"]],
+                            dtype=jnp.float32, tta_mode="feature",
+                            n_crops=10)
+
 
 class TestTestCLI:
     def test_accuracy_table(self, world, tmp_path, capsys):

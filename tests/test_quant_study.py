@@ -117,6 +117,54 @@ def test_reproduce_tables_int8_gate(trained_textured_world, tmp_path,
     assert rc == 1
 
 
+@pytest.mark.slow
+def test_ref_checkpoint_supplies_the_reference(trained_textured_world,
+                                               tmp_path):
+    """--ref_checkpoint must actually provide the fp32 reference tables
+    (round-3 review fix: it was loaded, validated, then ignored).
+    Measuring the trained checkpoint against a RANDOM-INIT reference
+    must show large hierarchy flip rates — before the fix this showed
+    the near-zero self-comparison instead."""
+    world = trained_textured_world
+    from geoestimation_tpu.eval.engine import resolve_partitioning_paths
+    from geoestimation_tpu.geo import load_partitionings
+    from geoestimation_tpu.train.checkpoint import (
+        load_for_inference,
+        save_single,
+    )
+    from geoestimation_tpu.train.init import init_model_state
+
+    ckpt = os.path.join(world, "ckpt")
+    config, _ = load_for_inference(ckpt)
+    mp = config.model_params
+    paths = resolve_partitioning_paths(mp.partitionings.files,
+                                       [ckpt, world, os.getcwd()])
+    parts = load_partitionings(paths, names=list(mp.partitionings.shortnames))
+    _, rnd_state = init_model_state(config, parts, seed=123, image_size=64)
+    ref_dir = str(tmp_path / "ref_ckpt")
+    save_single(ref_dir, rnd_state, config=config, step=0,
+                metrics={"val_loss": 99.0})
+
+    from tools.quant_study import main as study_main
+
+    json_out = str(tmp_path / "study_ref.json")
+    rc = study_main([
+        "--checkpoint", ckpt,
+        "--ref_checkpoint", ref_dir,
+        "--image_dir", os.path.join(world, "eval_images"),
+        "--meta", os.path.join(world, "eval_meta.csv"),
+        "--cpu", "--crops", "1", "--batch_size", "16",
+        "--calib_images", "16", "--stats", "absmax",
+        "--json", json_out,
+    ])
+    assert rc == 0
+    results = json.load(open(json_out))
+    flips = results["configs"]["absmax@1"]["flip_rates"]
+    # trained-vs-random disagreement: far above the self-comparison's
+    # <= 5% (the old bug would reproduce that near-zero number here)
+    assert flips["hierarchy"] > 0.2, flips
+
+
 def test_quant_study_cli_help():
     """The study tool is a real CLI (discoverable surface)."""
     out = subprocess.run(

@@ -39,19 +39,18 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import numpy as np
 
-THRESHOLDS_KM = (1.0, 25.0, 200.0, 750.0, 2500.0)
-
-
-def haversine_km(lat1, lng1, lat2, lng2):
-    r = np.radians
-    a = (np.sin(r(lat2 - lat1) / 2) ** 2
-         + np.cos(r(lat1)) * np.cos(r(lat2))
-         * np.sin(r(lng2 - lng1) / 2) ** 2)
-    return 2 * 6371.0 * np.arcsin(np.sqrt(np.clip(a, 0, 1)))
+from geoestimation_tpu.eval.metrics import (
+    DEFAULT_THRESHOLDS_KM as THRESHOLDS_KM,
+)
 
 
 def gcd_table(pred_lat, pred_lng, true_lat, true_lng):
-    d = haversine_km(pred_lat, pred_lng, true_lat, true_lng)
+    """GCD threshold table via the framework's one haversine
+    implementation (eval.metrics.great_circle_distance)."""
+    from geoestimation_tpu.eval.metrics import great_circle_distance
+
+    d = np.asarray(
+        great_circle_distance(pred_lat, pred_lng, true_lat, true_lng))
     return {t: float((d <= t).mean()) for t in THRESHOLDS_KM}
 
 
@@ -210,9 +209,13 @@ def main(argv=None):
 
     @jax.jit
     def fwd_fp32(images_u8):
+        # NOTE: the fp32 reference comes from ref_model/ref_variables —
+        # with --ref_checkpoint that is the ORIGINAL (pre-distillation)
+        # model, so drift of a distilled serving checkpoint away from
+        # its teacher shows up in the deltas instead of being hidden.
         x = eval_pipeline(images_u8, n_crops=n_crops, crop=224,
                           dtype=jnp.float32)
-        return fold_predict(model.apply(variables, x, train=False))
+        return fold_predict(ref_model.apply(ref_variables, x, train=False))
 
     qnet = quantize_model(variables, mp.arch)
     dyn = build_int8_apply_dynamic(qnet, n_classes=n_classes)
