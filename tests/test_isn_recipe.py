@@ -285,10 +285,10 @@ def test_frozen_backbone_routed_vs_shared(tmp_path):
         steps=250, lr=0.05)
 
     def acc200(cls):
-        from tools.quant_study import haversine_km
+        from geoestimation_tpu.eval.metrics import great_circle_distance
 
-        dist = haversine_km(fine_part.lat[cls], fine_part.lng[cls],
-                            elat, elng)
+        dist = np.asarray(great_circle_distance(
+            fine_part.lat[cls], fine_part.lng[cls], elat, elng))
         return float((dist <= 200.0).mean())
 
     xte_j = jnp.asarray(xte)

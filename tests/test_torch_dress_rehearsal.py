@@ -43,7 +43,6 @@ import import_torch_checkpoint as imp  # noqa: E402
 
 ARCH = "resnet14"
 STAGES = (1, 1, 1, 1)
-RNG = np.random.default_rng(42)
 N_EVAL = 8
 THRESHOLDS = (1.0, 25.0, 200.0, 750.0, 2500.0)
 IMAGENET_MEAN = (0.485, 0.456, 0.406)
@@ -55,9 +54,14 @@ IMAGENET_STD = (0.229, 0.224, 0.225)
 # ---------------------------------------------------------------------------
 
 
-def make_torch_params(n_classes, stages=STAGES):
+def make_torch_params(n_classes, stages=STAGES, rng=None):
+    # Per-call RNG: a module-level shared generator made each test's
+    # weights depend on how many draws EARLIER tests consumed (suite
+    # order), which round 3 shipped as an order-dependent flake.
+    rng = rng if rng is not None else np.random.default_rng(42)
+
     def t(shape, scale=0.05, grad=True):
-        x = torch.tensor(RNG.normal(0, scale, shape).astype(np.float32))
+        x = torch.tensor(rng.normal(0, scale, shape).astype(np.float32))
         x.requires_grad_(grad)
         return x
 
@@ -144,7 +148,7 @@ def color_targets(parts):
 
 
 def train_torch(sd, n_classes, targets=None, steps=5, batch=4, size=96,
-                stages=STAGES):
+                stages=STAGES, rng=None):
     """Real SGD steps (live BN running-stat updates). Default: random
     data/labels — the point is a checkpoint whose BN statistics and
     heads are not at init. With `targets` (per-head class per color
@@ -154,6 +158,7 @@ def train_torch(sd, n_classes, targets=None, steps=5, batch=4, size=96,
     argmaxes flip under any precision change."""
     import torch.nn.functional as F
 
+    rng = rng if rng is not None else np.random.default_rng(43)
     mean = np.asarray(IMAGENET_MEAN, np.float32).reshape(3, 1, 1)
     std = np.asarray(IMAGENET_STD, np.float32).reshape(3, 1, 1)
     params = [v for v in sd.values() if v.requires_grad]
@@ -161,19 +166,19 @@ def train_torch(sd, n_classes, targets=None, steps=5, batch=4, size=96,
     for step in range(steps):
         if targets is None:
             x = torch.tensor(
-                RNG.normal(0, 1, (batch, 3, size, size)).astype(
+                rng.normal(0, 1, (batch, 3, size, size)).astype(
                     np.float32))
             labels = [
-                torch.tensor(RNG.integers(0, n, batch).astype(np.int64))
+                torch.tensor(rng.integers(0, n, batch).astype(np.int64))
                 for n in n_classes
             ]
         else:
-            cls = RNG.integers(0, 3, batch)
+            cls = rng.integers(0, 3, batch)
             u8 = np.zeros((batch, 3, size, size), np.float32)
             for b, c in enumerate(cls):
                 u8[b, c] = 180.0
                 u8[b, (c + 1) % 3] = 60.0
-            u8 = np.clip(u8 + RNG.normal(0, 40, u8.shape), 0,
+            u8 = np.clip(u8 + rng.normal(0, 40, u8.shape), 0,
                          255).astype(np.float32)
             x = torch.tensor((u8 / 255.0 - mean) / std)
             labels = [
@@ -225,12 +230,25 @@ def haversine_km(lat1, lng1, lat2, lng2):
 
 
 def torch_side_tables(sd, image_dir, meta, hierarchy, partitionings,
-                      stages=STAGES, files=None):
+                      stages=STAGES, files=None, return_margin=False):
     """The reference eval: ten-crop -> softmax-prob mean -> per-head argmax
-    + f* -> GCD threshold accuracies. Returns {p_key: {thr: frac}}."""
+    + f* -> GCD threshold accuracies. Returns {p_key: {thr: frac}}.
+
+    With return_margin=True, also returns the minimum relative
+    decisiveness margin over all (image, head/hierarchy) argmaxes:
+    (top1 - top2) / top1 of the folded scores. Near-zero margins mean
+    the fp32-XLA vs torch argmax can legitimately flip — callers should
+    assert a floor before demanding exact table equality."""
     names = [p.name for p in partitionings] + ["hierarchy"]
     hits = {k: np.zeros(len(THRESHOLDS)) for k in names}
     total = 0
+    min_margin = np.inf
+
+    def margin_of(score):
+        top2 = np.sort(score[np.isfinite(score)])[-2:]
+        if top2[-1] <= 0:
+            return 0.0
+        return float((top2[1] - top2[0]) / top2[1])
     maps = [np.asarray(m) for m in hierarchy.maps]
     valid = np.asarray(hierarchy.valid)
     if files is None:
@@ -247,6 +265,7 @@ def torch_side_tables(sd, image_dir, meta, hierarchy, partitionings,
         # per-partitioning argmax
         for p, pr in zip(partitionings, probs):
             c = int(pr.argmax())
+            min_margin = min(min_margin, margin_of(pr))
             d = haversine_km(p.lat[c], p.lng[c], glat, glng)
             hits[p.name] += np.asarray(THRESHOLDS) >= d
         # f*: product of ancestor probs over fine cells
@@ -255,13 +274,17 @@ def torch_side_tables(sd, image_dir, meta, hierarchy, partitionings,
             score = score * pr[m]
         score = np.where(valid, score, -np.inf)
         c = int(score.argmax())
+        min_margin = min(min_margin, margin_of(score))
         fine = partitionings[-1]
         d = haversine_km(fine.lat[c], fine.lng[c], glat, glng)
         hits["hierarchy"] += np.asarray(THRESHOLDS) >= d
-    return {
+    tables = {
         k: {t: float(h) / total for t, h in zip(THRESHOLDS, v)}
         for k, v in hits.items()
     }
+    if return_margin:
+        return tables, min_margin
+    return tables
 
 
 # ---------------------------------------------------------------------------
@@ -280,6 +303,7 @@ def world(tmp_path_factory, geo_parts):
 
     img_dir = root / "images"
     img_dir.mkdir()
+    rng = np.random.default_rng(42)
     rows = []
     sizes = [(300, 256), (256, 340), (280, 280), (320, 264),
              (256, 256), (272, 304), (258, 310), (330, 258)]
@@ -291,12 +315,12 @@ def world(tmp_path_factory, geo_parts):
         base[..., i % 3] = 80 + 20 * i
         base[..., (i + 1) % 3] = 255 - 25 * i
         arr = np.clip(
-            base + RNG.normal(0, 40, (h, w, 3)), 0, 255
+            base + rng.normal(0, 40, (h, w, 3)), 0, 255
         ).astype(np.uint8)
         name = f"img_{i:03d}.jpg"
         Image.fromarray(arr).save(img_dir / name, quality=90)
-        rows.append((name, float(RNG.uniform(47.6, 49.4)),
-                     float(RNG.uniform(1.6, 3.4))))
+        rows.append((name, float(rng.uniform(47.6, 49.4)),
+                     float(rng.uniform(1.6, 3.4))))
     import pandas as pd
 
     meta = pd.DataFrame(rows, columns=["IMG_ID", "LAT", "LON"])
@@ -308,10 +332,12 @@ def world(tmp_path_factory, geo_parts):
 def _train_and_import(world, geo_parts, targets, tag):
     root, cell_files, img_dir, meta_path, meta = world
     n_classes = [len(p) for p in geo_parts]
-    sd = make_torch_params(n_classes)
+    seed = 42 + len(tag)  # deterministic per variant, order-independent
+    sd = make_torch_params(n_classes, rng=np.random.default_rng(seed))
     train_torch(sd, n_classes, targets,
                 steps=14 if targets else 5,
-                batch=6 if targets else 4)
+                batch=6 if targets else 4,
+                rng=np.random.default_rng(seed + 1000))
     ckpt_path = str(root / f"epoch=004-val_loss=1.0{tag}.ckpt")
     with torch.no_grad():
         torch.save(
@@ -428,13 +454,15 @@ def test_full_cli_table_matches_torch_stack_resnet50(world, geo_parts):
     root, cell_files, img_dir, meta_path, meta = world
     stages = (3, 4, 6, 3)
     n_classes = [len(p) for p in geo_parts]
-    sd = make_torch_params(n_classes, stages=stages)
+    sd = make_torch_params(n_classes, stages=stages,
+                           rng=np.random.default_rng(7))
     # color-target training (see color_targets): decisive,
     # geographically-sensible logits so the tables contain hits AND
     # misses (a noise-trained rn50 predicts one far cell everywhere,
     # which would trip the non-degeneracy guard below)
     train_torch(sd, n_classes, targets=color_targets(geo_parts),
-                steps=6, batch=4, size=96, stages=stages)
+                steps=6, batch=4, size=96, stages=stages,
+                rng=np.random.default_rng(1007))
     ckpt_path = str(root / "epoch=004-val_loss=1.0_rn50.ckpt")
     with torch.no_grad():
         torch.save(
@@ -475,8 +503,20 @@ def test_full_cli_table_matches_torch_stack_resnet50(world, geo_parts):
     from geoestimation_tpu.geo import Hierarchy
 
     hierarchy = Hierarchy.build(geo_parts)
-    theirs = torch_side_tables(sd, sub, meta, hierarchy, geo_parts,
-                               stages=stages, files=files)
+    theirs, margin = torch_side_tables(sd, sub, meta, hierarchy, geo_parts,
+                                       stages=stages, files=files,
+                                       return_margin=True)
+    # Decisiveness guard: exact table equality across two fp32 stacks
+    # (XLA vs torch) is only a meaningful assertion when every argmax
+    # has daylight under it — near-tie scores flip legitimately under
+    # operation-reordering-level numeric differences. With the fixed
+    # per-test seeds above this margin is deterministic; if a future
+    # seed/layout change lands on a near-tie, fail HERE with a clear
+    # message instead of producing a spurious parity mismatch.
+    assert margin > 0.02, (
+        f"checkpoint produced near-tie logits (min relative margin "
+        f"{margin:.4f}); retune seeds/steps rather than comparing tables"
+    )
     assert "_n_images_without_meta" not in ours
     for p_key, expect in theirs.items():
         got = {float(k): v for k, v in ours[p_key].items()}
