@@ -86,6 +86,16 @@ def build_parser():
                    help="scaled DCT JPEG decode on the host ingest path "
                         "(several times faster on large photos; slightly "
                         "different pixels — off for strict parity)")
+    p.add_argument("--coordinator", default=None,
+                   help="multi-process inference: coordinator host:port "
+                        "(jax.distributed). Run the SAME command on every "
+                        "host; each process predicts sorted(files)[p::n] "
+                        "and writes <output>.part-P-of-N (concatenate the "
+                        "parts for the full CSV; rows don't overlap). "
+                        "Requires --output. --coordinator auto on Cloud "
+                        "TPU VMs")
+    p.add_argument("--num_processes", type=int, default=None)
+    p.add_argument("--process_id", type=int, default=None)
     return p
 
 
@@ -94,7 +104,22 @@ def main(argv=None):
     if args.cpu:
         import jax
         jax.config.update("jax_platforms", "cpu")
+    if args.coordinator:
+        from geoestimation_tpu.parallel.multihost import initialize
+
+        if args.coordinator == "auto":
+            initialize()
+        else:
+            initialize(coordinator_address=args.coordinator,
+                       num_processes=args.num_processes,
+                       process_id=args.process_id)
+    import jax
     import jax.numpy as jnp
+
+    proc_id, n_procs = jax.process_index(), jax.process_count()
+    if n_procs > 1 and not args.output:
+        raise SystemExit("multi-process inference requires --output "
+                         "(each process writes its own part file)")
 
     from geoestimation_tpu.eval.engine import (
         InferenceEngine,
@@ -126,13 +151,18 @@ def main(argv=None):
         int8_recalibrate=args.recalibrate,
         fast_decode=args.fast_decode,
     )
-    df = engine.predict_dir(args.image_dir, batch_size=args.batch_size,
-                            num_workers=args.num_workers)
+    df = engine.predict_dir(
+        args.image_dir, batch_size=args.batch_size,
+        num_workers=args.num_workers,
+        process_slice=(proc_id, n_procs) if n_procs > 1 else None,
+    )
     if args.output:
-        os.makedirs(os.path.dirname(os.path.abspath(args.output)),
-                    exist_ok=True)
-        df.to_csv(args.output, index=False)
-        print(f"wrote {len(df)} rows to {args.output}")
+        out = args.output
+        if n_procs > 1:
+            out = f"{args.output}.part-{proc_id}-of-{n_procs}"
+        os.makedirs(os.path.dirname(os.path.abspath(out)), exist_ok=True)
+        df.to_csv(out, index=False)
+        print(f"wrote {len(df)} rows to {out}")
     else:
         df.to_csv(sys.stdout, index=False)
 

@@ -79,6 +79,15 @@ def build_parser():
                    help="scaled DCT JPEG decode on the host ingest path "
                         "(several times faster on large photos; slightly "
                         "different pixels — off for strict parity)")
+    p.add_argument("--coordinator", default=None,
+                   help="multi-process evaluation: coordinator host:port "
+                        "(jax.distributed). Run the SAME command on every "
+                        "host; each process scores sorted(files)[p::n] "
+                        "and the GCD counts merge across processes — the "
+                        "printed table covers the full directory. "
+                        "--coordinator auto on Cloud TPU VMs")
+    p.add_argument("--num_processes", type=int, default=None)
+    p.add_argument("--process_id", type=int, default=None)
     return p
 
 
@@ -90,7 +99,19 @@ def main(argv=None):
     if args.cpu:
         import jax
         jax.config.update("jax_platforms", "cpu")
+    if args.coordinator:
+        from geoestimation_tpu.parallel.multihost import initialize
+
+        if args.coordinator == "auto":
+            initialize()
+        else:
+            initialize(coordinator_address=args.coordinator,
+                       num_processes=args.num_processes,
+                       process_id=args.process_id)
+    import jax
     import jax.numpy as jnp
+
+    proc_id, n_procs = jax.process_index(), jax.process_count()
 
     from geoestimation_tpu.data.image_folder import load_meta_csv
     from geoestimation_tpu.eval.engine import (
@@ -129,14 +150,16 @@ def main(argv=None):
         results = engine.evaluate_dir(
             image_dir, meta, batch_size=args.batch_size,
             num_workers=args.num_workers,
+            process_slice=(proc_id, n_procs) if n_procs > 1 else None,
         )
         name = os.path.basename(os.path.normpath(image_dir))
         all_results[name] = results
-        print(format_accuracy_table(results, dataset_name=name))
-        missing = results.get("_n_images_without_meta")
-        if missing:
-            print(f"  ({missing} images had no meta row; excluded)")
-    if args.json_out:
+        if proc_id == 0:
+            print(format_accuracy_table(results, dataset_name=name))
+            missing = results.get("_n_images_without_meta")
+            if missing:
+                print(f"  ({missing} images had no meta row; excluded)")
+    if args.json_out and proc_id == 0:
         with open(args.json_out, "w") as f:
             json.dump(all_results, f, indent=2)
     return all_results

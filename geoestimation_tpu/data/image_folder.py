@@ -49,6 +49,7 @@ def iter_image_folder(
     tencrop_host: bool = False,
     crop: int = 224,
     fast_decode: bool = False,
+    process_slice=None,
 ) -> Iterator[EvalBatch]:
     """Decode-and-batch iterator with background prefetch.
 
@@ -68,6 +69,13 @@ def iter_image_folder(
         raise FileNotFoundError(
             f"no {'/'.join(IMAGE_EXTENSIONS)} images in {image_dir!r}"
         )
+    if process_slice is not None:
+        # multi-process eval (parallel/multihost.py): this process keeps
+        # sorted(files)[p::n]. An empty slice (dir smaller than the
+        # fleet) yields zero batches rather than raising — the global
+        # set is non-empty and the count merge handles idle processes.
+        p, n = process_slice
+        paths = paths[p::n]
 
     def produce(q, stop):
         def put(item):

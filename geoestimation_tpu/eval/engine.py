@@ -193,7 +193,15 @@ class InferenceEngine:
                 crop=crop, n_crops=n_crops, level=feature_tta_level)
         elif fast and not int8:
             # int8 and feature modes never call _fast_apply — skip the
-            # load-time BN fold instead of holding a dead pytree
+            # load-time BN fold instead of holding a dead pytree.
+            # The fold computes in bf16; refuse a float32 request the
+            # same way feature TTA does instead of silently returning
+            # bf16 results labeled fp32.
+            if dtype != jnp.bfloat16:
+                raise ValueError(
+                    "--fast folds BatchNorm into bf16 conv weights; "
+                    "--precision 32 is not available in this mode "
+                    "(use --precision 16, or drop --fast)")
             from ..models.fast_infer import build_fast_apply
 
             self._fast_apply = build_fast_apply(
@@ -299,22 +307,38 @@ class InferenceEngine:
             if obj is not None:
                 scales, why = unpack_scales(obj, self.model_arch,
                                             expect_hash=self._qhash)
+                if scales is not None:
+                    # Pixel-pipeline provenance applies to EVERY cache
+                    # read, not just --calib_dir: fast_decode / crop
+                    # geometry change the activation distribution the
+                    # scales were fit to, so a cache written under a
+                    # different pipeline recalibrates even when the
+                    # weights hash matches. Exception: 'qat'/'distill'
+                    # scales are TRAINED-AGAINST — the quantized weights
+                    # were optimized for exactly these values (tools/
+                    # qat_finetune.py, tools/tta_distill.py), so
+                    # recalibrating would silently discard the QAT/
+                    # distillation result; they stay pinned on
+                    # weights-hash alone.
+                    prov = why  # unpack returns provenance on success
+                    if prov.get("source") not in ("qat", "distill") \
+                            and not (prov.get("fast_decode")
+                                     == bool(self._fast_decode)
+                                     and prov.get("crop") == self.crop
+                                     and prov.get("n_crops")
+                                     == self.n_crops):
+                        scales, why = None, ("cache calibrated under a "
+                                             "different pixel pipeline")
                 if scales is not None and self._calib_dir:
                     # --calib_dir forces recalibration UNLESS the cache
                     # proves it was calibrated on exactly this set with
-                    # these settings AND the same pixel pipeline
-                    # (fast_decode / crop geometry change the activation
-                    # distribution the scales were fit to)
-                    prov = why  # unpack returns provenance on success
+                    # these settings
+                    prov = why
                     if not (prov.get("source") == "calib_dir"
                             and prov.get("calib_fingerprint") == fingerprint
                             and prov.get("stat") == self._calib_stat
                             and prov.get("headroom")
-                            == self._calib_headroom
-                            and prov.get("fast_decode")
-                            == bool(self._fast_decode)
-                            and prov.get("crop") == self.crop
-                            and prov.get("n_crops") == self.n_crops):
+                            == self._calib_headroom):
                         scales, why = None, ("cache not from this "
                                              "calibration set/settings")
                 if scales is None:
@@ -478,16 +502,20 @@ class InferenceEngine:
     # -- folder-level drivers ------------------------------------------------
 
     def predict_dir(self, image_dir: str, batch_size: int = 64,
-                    num_workers: Optional[int] = None) -> pd.DataFrame:
+                    num_workers: Optional[int] = None,
+                    process_slice=None) -> pd.DataFrame:
         """Reference inference.py output contract (README.md:118-124):
-        rows of (img_id, p_key, pred_class, pred_lat, pred_lng)."""
+        rows of (img_id, p_key, pred_class, pred_lat, pred_lng).
+
+        process_slice=(p, n): multi-process eval — this process handles
+        sorted(files)[p::n] only (parallel/multihost.py)."""
         from ..data.image_folder import iter_image_folder
 
         rows = []
         for batch in iter_image_folder(
             image_dir, batch_size=batch_size, num_workers=num_workers,
             tencrop_host=(self.tta_mode == "host_exact"), crop=self.crop,
-            fast_decode=self._fast_decode,
+            fast_decode=self._fast_decode, process_slice=process_slice,
         ):
             preds = self.predict_batch(batch.images)
             for key, (cls, lat, lng) in preds.items():
@@ -511,21 +539,30 @@ class InferenceEngine:
         batch_size: int = 64,
         thresholds_km=DEFAULT_THRESHOLDS_KM,
         num_workers: Optional[int] = None,
+        process_slice=None,
     ) -> dict:
         """Reference test.py behavior (SURVEY.md §4.3): GCD threshold
-        accuracies per p_key against a meta CSV (IMG_ID, LAT, LON)."""
+        accuracies per p_key against a meta CSV (IMG_ID, LAT, LON).
+
+        process_slice=(p, n): multi-process eval — this process scores
+        sorted(files)[p::n] locally, then all processes merge their
+        count-based accumulators (one tiny all-gather at the end), so
+        the returned table covers the FULL directory on every process."""
         from ..data.image_folder import iter_image_folder
 
         gt = {
             str(r.IMG_ID): (float(r.LAT), float(r.LON))
             for r in meta.itertuples()
         }
-        accs = {}
+        # pre-create one accumulator per pred key: every process must
+        # bring the same key set to the cross-process merge, including
+        # a process whose file slice is empty
+        accs = {k: GcdAccumulator(thresholds_km) for k in self.pred_keys}
         n_missing = 0
         for batch in iter_image_folder(
             image_dir, batch_size=batch_size, num_workers=num_workers,
             tencrop_host=(self.tta_mode == "host_exact"), crop=self.crop,
-            fast_decode=self._fast_decode,
+            fast_decode=self._fast_decode, process_slice=process_slice,
         ):
             true_lat = np.zeros(len(batch.ids), np.float32)
             true_lng = np.zeros(len(batch.ids), np.float32)
@@ -542,13 +579,16 @@ class InferenceEngine:
                     valid[i] = False
             preds = self.predict_batch(batch.images)
             for p_key, (cls, plat, plng) in preds.items():
-                acc = accs.setdefault(p_key, GcdAccumulator(thresholds_km))
                 counts, total = gcd_threshold_counts(
                     jnp.asarray(plat), jnp.asarray(plng),
                     jnp.asarray(true_lat), jnp.asarray(true_lng),
                     thresholds_km, valid=jnp.asarray(valid),
                 )
-                acc.update(counts, total)
+                accs[p_key].update(counts, total)
+        if process_slice is not None and process_slice[1] > 1:
+            from ..parallel.multihost import merge_gcd_accumulators
+
+            n_missing = merge_gcd_accumulators(accs, n_missing)
         result = {k: a.result() for k, a in accs.items()}
         if n_missing:
             result["_n_images_without_meta"] = n_missing

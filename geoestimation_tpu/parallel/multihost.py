@@ -22,9 +22,9 @@ Pieces:
     the same number of batches (no collective deadlock on uneven
     shards), and 2-process training is bit-comparable to 1-process
     training on the same data. For big fleets where decode dominates,
-    the shard-strided feed (`data/shards.py iter_records host_id/
-    host_count`) remains available via `data_mode='strided'`; it trades
-    exact batch composition for per-host IO/decode 1/N.
+    set `train_params.data_feed: strided` (`StridedFeed` below): each
+    host reads only `shards[p::n]` and decodes only its local rows —
+    IO/decode 1/N, at the cost of exact batch composition.
   * `global_batch_array(...)` — process-local numpy -> global
     `jax.Array` via `jax.make_array_from_process_local_data`.
   * `host_local_tree(...)` — checkpoint-side inverse: fetch a (possibly
@@ -100,6 +100,40 @@ class LockstepSlicer:
             )
 
 
+class StridedFeed:
+    """Per-host shard-subset feed (`train_params.data_feed: strided`):
+    each process reads only its shard subset (`shards[p::n]`, data/
+    shards.py iter_records) and decodes only its LOCAL rows — IO+decode
+    cost 1/N of lockstep — at the price of global batch composition
+    differing from a single-process run (rows pair by arrival order,
+    not by a shared global permutation).
+
+    Uneven shard subsets would hand hosts different batch counts and
+    deadlock the first collective of the odd step; every yield is
+    therefore gated on a tiny all-gather of a have-next bit and the
+    stream ends GLOBALLY as soon as any host runs dry (richer hosts
+    drop at most their trailing local batches of the epoch)."""
+
+    def __init__(self, batcher):
+        self.batcher = batcher
+        self.batch_size = batcher.batch_size
+
+    def __iter__(self):
+        from jax.experimental import multihost_utils
+
+        it = iter(self.batcher)
+        while True:
+            try:
+                b = next(it)
+            except StopIteration:
+                b = None
+            have = multihost_utils.process_allgather(
+                np.asarray(b is not None))
+            if not bool(np.all(have)):
+                return
+            yield b
+
+
 def global_batch_array(sharding, local_arr: np.ndarray, batch_axis: int,
                        process_count: int):
     """Process-local rows -> one global jax.Array on the mesh."""
@@ -146,6 +180,33 @@ def global_put_tree(tree, shardings):
                                             lambda idx: arr[idx])
 
     return jax.tree.map(put, tree, shardings)
+
+
+def merge_gcd_accumulators(accs: dict, n_missing: int = 0) -> int:
+    """Cross-process reduction for multi-process evaluation: sum every
+    process's GCD threshold counts/totals (eval/metrics.GcdAccumulator
+    is count-based precisely so shards can be summed) into each
+    accumulator IN PLACE, and return the summed images-without-meta
+    count. All processes must call this in lockstep with the same key
+    set (the engine pre-creates an accumulator per pred_key, so an
+    idle process with an empty file slice still participates)."""
+    from jax.experimental import multihost_utils
+
+    keys = sorted(accs)
+    t = len(next(iter(accs.values())).counts)
+    local = np.concatenate(
+        [np.concatenate([accs[k].counts, [accs[k].total]]) for k in keys]
+        + [[n_missing]]
+    ).astype(np.int64)
+    summed = np.asarray(
+        multihost_utils.process_allgather(local)
+    ).reshape(-1, local.shape[0]).sum(axis=0)
+    off = 0
+    for k in keys:
+        accs[k].counts = summed[off:off + t]
+        accs[k].total = int(summed[off + t])
+        off += t + 1
+    return int(summed[-1])
 
 
 def host_local_tree(tree):

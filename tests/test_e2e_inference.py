@@ -351,6 +351,105 @@ class TestEngineGuards:
                             dtype=jnp.float32, tta_mode="feature",
                             n_crops=10)
 
+    def test_fast_rejects_fp32(self, world):
+        """--fast folds BN into bf16 weights; a float32 request must
+        fail loudly instead of returning bf16 results labeled fp32
+        (round-4 advisor fix)."""
+        import jax.numpy as jnp
+
+        from geoestimation_tpu.eval.engine import InferenceEngine
+        from geoestimation_tpu.train.checkpoint import load_for_inference
+
+        config, state = load_for_inference(world["ckpt"])
+        with pytest.raises(ValueError, match="bf16"):
+            InferenceEngine(config, state, search_dirs=[world["ckpt"]],
+                            dtype=jnp.float32, fast=True)
+
+    def test_pixel_pipeline_cache_check_without_calib_dir(
+            self, world, tmp_path, monkeypatch):
+        """The scales-cache pixel-pipeline provenance check applies to
+        EVERY cache read, not just --calib_dir (round-4 advisor fix):
+        a cache written under the default decode must be rejected by a
+        --fast_decode run even though the weights hash matches."""
+        from classification.inference import main
+
+        scales_file = os.path.join(world["ckpt"], "int8_scales.json")
+        if os.path.exists(scales_file):
+            os.unlink(scales_file)
+        common = ["--checkpoint", world["ckpt"], "--image_dir",
+                  world["img_dir"], "--batch_size", "8", "--crops", "1",
+                  "--precision", "8"]
+        main(common + ["--output", str(tmp_path / "a.csv")])
+        assert os.path.exists(scales_file)
+
+        import geoestimation_tpu.models.quant as quant
+
+        real_calibrate = quant.calibrate
+        called = {"n": 0}
+
+        def counting(*a, **k):
+            called["n"] += 1
+            return real_calibrate(*a, **k)
+
+        monkeypatch.setattr(quant, "calibrate", counting)
+        # same pipeline: cache trusted, no calibration
+        main(common + ["--output", str(tmp_path / "b.csv")])
+        assert called["n"] == 0
+        # different pixel pipeline (fast_decode), NO --calib_dir:
+        # cache must be rejected on provenance, not weights hash
+        main(common + ["--output", str(tmp_path / "c.csv"),
+                       "--fast_decode"])
+        assert called["n"] == 1, (
+            "fast_decode pipeline mismatch silently trusted the cache")
+
+    def test_qat_scales_pinned_across_pixel_pipelines(
+            self, world, tmp_path, monkeypatch):
+        """'qat'/'distill'-sourced scales are TRAINED-AGAINST: the
+        quantized weights were optimized for exactly those values, so
+        the pixel-pipeline provenance check must NOT recalibrate them
+        (recalibration would silently discard the QAT result) — they
+        stay pinned on weights-hash alone, even under --fast_decode."""
+        import json as _json
+
+        from classification.inference import main
+
+        scales_file = os.path.join(world["ckpt"], "int8_scales.json")
+        if os.path.exists(scales_file):
+            os.unlink(scales_file)
+        common = ["--checkpoint", world["ckpt"], "--image_dir",
+                  world["img_dir"], "--batch_size", "8", "--crops", "1",
+                  "--precision", "8"]
+        main(common + ["--output", str(tmp_path / "a.csv")])
+
+        # rewrite the cache as qat_finetune would: source='qat', no
+        # pixel-pipeline fields (tools/qat_finetune.py pack_scales call)
+        obj = _json.load(open(scales_file))
+        prov = obj["provenance"]
+        prov["source"] = "qat"
+        for k in ("fast_decode", "crop", "n_crops", "calib_fingerprint"):
+            prov.pop(k, None)
+        with open(scales_file, "w") as f:
+            _json.dump(obj, f)
+
+        import geoestimation_tpu.models.quant as quant
+
+        real_calibrate = quant.calibrate
+        called = {"n": 0}
+
+        def counting(*a, **k):
+            called["n"] += 1
+            return real_calibrate(*a, **k)
+
+        monkeypatch.setattr(quant, "calibrate", counting)
+        main(common + ["--output", str(tmp_path / "b.csv"),
+                       "--fast_decode"])
+        assert called["n"] == 0, (
+            "qat-sourced scales were recalibrated away by the "
+            "pixel-pipeline check")
+        # and the pinned cache file was not overwritten
+        assert _json.load(open(scales_file))["provenance"]["source"] \
+            == "qat"
+
 
 class TestTestCLI:
     def test_accuracy_table(self, world, tmp_path, capsys):
