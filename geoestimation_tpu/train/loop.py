@@ -160,9 +160,12 @@ class Trainer:
                 self.config.model_params.partitionings.shortnames,
                 with_scene=True,
             )
-        batcher = ShardBatcher(
-            patterns,
-            batch_size=self.tp.batch_size,
+        feed = self.tp.data_feed
+        if feed not in ("lockstep", "strided"):
+            raise ValueError(
+                f"unknown train_params.data_feed {feed!r}; "
+                "expected 'lockstep' or 'strided'")
+        common = dict(
             partitionings=None if label_map else self.partitionings,
             label_map=label_map,
             scene_map=scene_map,
@@ -173,12 +176,37 @@ class Trainer:
             # validation (shuffle=False) must not double-count tile-padded
             # duplicates in val_loss / GCD accuracy
             mask_padding=not shuffle,
-            # multi-process: every host materializes IDENTICAL global
-            # batches (same shards, same seed) and keeps its slice below
-            # — single-host semantics preserved exactly, equal batch
-            # counts on every host (no collective deadlock)
+        )
+        if self.n_procs > 1 and feed == "strided" and shuffle:
+            # strided (training feed only): each host reads shards[p::n]
+            # and decodes only its LOCAL rows (IO+decode 1/N);
+            # StridedFeed synchronizes batch counts so uneven shard
+            # subsets can't deadlock a collective. Validation stays
+            # lockstep: its metrics must match single-host runs exactly,
+            # and a val set may have fewer shards than hosts.
+            from ..parallel.multihost import StridedFeed
+
+            if self.tp.batch_size % self.n_procs:
+                raise ValueError(
+                    f"global batch {self.tp.batch_size} not divisible "
+                    f"by {self.n_procs} processes")
+            return StridedFeed(ShardBatcher(
+                patterns,
+                batch_size=self.tp.batch_size // self.n_procs,
+                host_id=self.proc_id,
+                host_count=self.n_procs,
+                **common,
+            ))
+        batcher = ShardBatcher(
+            patterns,
+            batch_size=self.tp.batch_size,
+            # lockstep (default): every host materializes IDENTICAL
+            # global batches (same shards, same seed) and keeps its
+            # slice below — single-host semantics preserved exactly,
+            # equal batch counts on every host (no collective deadlock)
             host_id=0,
             host_count=1,
+            **common,
         )
         if self.n_procs > 1:
             from ..parallel.multihost import LockstepSlicer

@@ -85,6 +85,11 @@ class TrainConfig:
     # parallelism: data-parallel shards; 1 axis is the reference behavior
     mesh_shape: Optional[Sequence[int]] = None   # None = all devices on data
     profile_dir: Optional[str] = None
+    # multi-process input feed (parallel/multihost.py): 'lockstep' (every
+    # host decodes the full global batch, exact single-host semantics) or
+    # 'strided' (each host reads shards[p::n] and decodes only its local
+    # rows — IO/decode 1/N, batch composition differs from single-host)
+    data_feed: str = "lockstep"
 
 
 @dataclass

@@ -67,6 +67,22 @@ class TestLockstepSlicer:
             LockstepSlicer(B(), 0, 2)
 
 
+def test_strided_feed_passes_batches_and_stops(monkeypatch):
+    """Single-process semantics of StridedFeed: batches pass through
+    unchanged and the stream ends when the wrapped batcher runs dry
+    (the have-next sync bit is trivially unanimous with one process)."""
+    from geoestimation_tpu.parallel.multihost import StridedFeed
+
+    class FakeBatcher:
+        batch_size = 4
+
+        def __iter__(self):
+            yield from ("a", "b", "c")
+
+    got = list(StridedFeed(FakeBatcher()))
+    assert got == ["a", "b", "c"]
+
+
 def test_data_axis_process_contiguity_check():
     """The 8-device single-process mesh is trivially contiguous."""
     from geoestimation_tpu.parallel.mesh import make_mesh
@@ -87,13 +103,13 @@ def _free_port():
 
 
 def _run_training(world, ckpt_dir, n_devices, distributed=None, env=None,
-                  timeout=1500):
+                  timeout=1500, max_steps=4):
     """Spawn `classification.train_base` as a subprocess on the CPU
     platform with `n_devices` virtual devices."""
     cmd = [sys.executable, "-m", "classification.train_base",
            "--config", os.path.join(world, "demo.yml"),
-           "--checkpoint_dir", ckpt_dir, "--max_steps", "4", "--cpu",
-           "--no_resume"]
+           "--checkpoint_dir", ckpt_dir, "--max_steps", str(max_steps),
+           "--cpu", "--no_resume"]
     if distributed:
         coord, n, pid = distributed
         cmd += ["--coordinator", coord, "--num_processes", str(n),
@@ -167,3 +183,49 @@ def test_two_process_training_matches_single(tmp_path):
                             - np.asarray(b, np.float32))))
         for a, b in zip(leaves_ref, leaves_got))
     assert worst < 5e-3, f"param divergence {worst}"
+
+
+@pytest.mark.slow
+def test_two_process_strided_feed_no_deadlock(tmp_path):
+    """`train_params.data_feed: strided` on UNEVEN shards: host 0 gets
+    two shards (80 records), host 1 one (64). Without the have-next
+    sync the hosts would produce different batch counts and the first
+    odd-step collective would hang; with it both processes must finish
+    the run cleanly at the SAME step (batch composition equality is
+    explicitly not a goal of this mode)."""
+    world = str(tmp_path / "world")
+    from tools.make_demo_world import main as make_world
+
+    # 144 train images -> per_shard=64 -> shards of 64/64/16
+    make_world(["--output", world, "--n_train", "144", "--n_eval", "8",
+                "--image_size", "64", "--arch", "resnet14"])
+    import yaml
+
+    cfg_path = os.path.join(world, "demo.yml")
+    cfg = yaml.safe_load(open(cfg_path))
+    cfg["train_params"]["batch_size"] = 8
+    cfg["train_params"]["num_workers"] = 2
+    cfg["train_params"]["data_feed"] = "strided"
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f, sort_keys=False)
+
+    coord = f"127.0.0.1:{_free_port()}"
+    ckpt_dir = str(tmp_path / "ckpt_strided")
+    # 20 steps: past the global-min epoch boundary (16 = min(host0's 20,
+    # host1's 16) strided batches), so the dry-stop + epoch-rollover
+    # path actually runs — host 0 must discard its 4 trailing batches
+    # and both hosts must roll to epoch 2 together
+    p0 = _run_training(world, ckpt_dir, n_devices=4,
+                       distributed=(coord, 2, 0), max_steps=20)
+    p1 = _run_training(world, ckpt_dir, n_devices=4,
+                       distributed=(coord, 2, 1), max_steps=20)
+    out0, _ = p0.communicate(timeout=1500)
+    out1, _ = p1.communicate(timeout=1500)
+    assert p0.returncode == 0, out0[-4000:]
+    assert p1.returncode == 0, out1[-4000:]
+    from geoestimation_tpu.train.checkpoint import CheckpointManager
+
+    mgr = CheckpointManager(ckpt_dir, async_save=False)
+    latest = mgr.latest_step()
+    mgr.close()
+    assert latest == 20
