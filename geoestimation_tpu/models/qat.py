@@ -102,14 +102,17 @@ def fold_variables(variables, arch="resnet50", eps=1e-5):
        "blocks": {name: {"conv1"|"conv2"|"conv3"|"downsample":
                          {"kernel", "bias"}}},
        "heads": <params["heads"] subtree, trained jointly>}
+
+    ISN checkpoints (models/isn.py) fold the same way; "heads" then
+    holds {"scene_head", "scene_geo_heads"}. The scene gate is FROZEN
+    during QAT (the argmax route passes no gradient, and the loss has
+    no scene term, so the scene head's gradient is structurally zero —
+    `build_qat_apply` additionally stop-gradients it, and the training
+    step leaves it bit-identical); only the trunk and the per-scene geo
+    heads move to int8-robust minima.
     """
     params = jax.device_get(variables["params"])
     stats = jax.device_get(variables["batch_stats"])
-    if "scene_head" in params:
-        raise NotImplementedError(
-            "QAT supports the base multi-head classifier; the ISN "
-            "variant's argmax scene gate passes no gradient to the "
-            "scene head (fine-tune the base model instead)")
     bb_p, bb_s = params["backbone"], stats["backbone"]
     stage_sizes = STAGE_SIZES[arch]
 
@@ -135,7 +138,13 @@ def fold_variables(variables, arch="resnet50", eps=1e-5):
                 cname: {"kernel": jnp.asarray(k), "bias": jnp.asarray(b)}
                 for cname, (k, b) in fb.items()
             }
-    heads = jax.tree.map(jnp.asarray, params["heads"])
+    if "scene_head" in params:
+        heads = jax.tree.map(jnp.asarray, {
+            "scene_head": params["scene_head"],
+            "scene_geo_heads": params["scene_geo_heads"],
+        })
+    else:
+        heads = jax.tree.map(jnp.asarray, params["heads"])
     return {
         "stem": {"kernel": jnp.asarray(wp), "bias": jnp.asarray(bpp)},
         "blocks": blocks,
@@ -192,7 +201,13 @@ def unfold_to_variables(folded, variables, arch="resnet50", eps=1e-5):
                 identity_bn(bb_p[name]["downsample_bn"],
                             bb_s[name]["downsample_bn"],
                             fb["downsample"]["bias"])
-    params["heads"] = jax.tree.map(np.asarray, folded["heads"])
+    if "scene_geo_heads" in folded["heads"]:
+        params["scene_head"] = jax.tree.map(
+            np.asarray, folded["heads"]["scene_head"])
+        params["scene_geo_heads"] = jax.tree.map(
+            np.asarray, folded["heads"]["scene_geo_heads"])
+    else:
+        params["heads"] = jax.tree.map(np.asarray, folded["heads"])
     return {"params": params, "batch_stats": stats}
 
 
@@ -267,9 +282,27 @@ def build_qat_apply(arch, act_scales, n_classes=None):
                                    lo=0.0)
 
         feats = jnp.mean(y, axis=(1, 2))
-        hk = folded["heads"]["fused_head"]["kernel"]
-        hb = folded["heads"]["fused_head"]["bias"]
-        logits = feats @ hk + hb
+        heads = folded["heads"]
+        if "scene_geo_heads" in heads:
+            # ISN: FROZEN scene gate — the argmax route passes no
+            # gradient and the scene head itself is stop-gradiented, so
+            # QAT moves only the trunk + per-scene geo heads; routing
+            # matches quant.build_int8_apply's serving behavior
+            # (predicted scene, hard one-hot select).
+            sk = jax.lax.stop_gradient(heads["scene_head"]["kernel"])
+            sb = jax.lax.stop_gradient(heads["scene_head"]["bias"])
+            scene_logits = feats @ sk + sb
+            n_scenes = sk.shape[-1]
+            gate = jax.nn.one_hot(jnp.argmax(scene_logits, -1), n_scenes,
+                                  dtype=jnp.float32)
+            flat = feats @ heads["scene_geo_heads"]["kernel"] \
+                + heads["scene_geo_heads"]["bias"]
+            per_scene = flat.reshape(flat.shape[0], n_scenes, -1)
+            logits = jnp.einsum("bsc,bs->bc", per_scene, gate)
+        else:
+            hk = heads["fused_head"]["kernel"]
+            hb = heads["fused_head"]["bias"]
+            logits = feats @ hk + hb
         if n_classes is None:
             return logits
         out, start = [], 0
@@ -347,6 +380,9 @@ def quantize_folded(folded, arch="resnet50"):
                 qb[cname] = (kq, sw,
                              np.asarray(fb[cname]["bias"], np.float32))
             blocks[name] = qb
+    isn = "scene_geo_heads" in folded["heads"]
+    heads = (jax.tree.map(np.asarray, folded["heads"]) if isn
+             else {"heads": jax.tree.map(np.asarray, folded["heads"])})
     return {
         "arch": arch,
         "stage_sizes": stage_sizes,
@@ -354,6 +390,6 @@ def quantize_folded(folded, arch="resnet50"):
                  np.asarray(folded["stem"]["bias"], np.float32)),
         "stem_pad_val": pad_val,
         "blocks": blocks,
-        "isn": False,
-        "heads": {"heads": jax.tree.map(np.asarray, folded["heads"])},
+        "isn": isn,
+        "heads": heads,
     }

@@ -205,16 +205,73 @@ class TestTraining:
         assert losses[-1] < losses[0] * 0.7, \
             f"QAT loss did not decrease: {losses[0]:.3f} -> {losses[-1]:.3f}"
 
-    def test_isn_rejected(self):
+    def test_isn_qat_frozen_scene_gate(self):
+        """ISN QAT (round-4, VERDICT next #9): the scene gate stays
+        bit-identical through training (frozen — argmax routing passes
+        no gradient, the head is stop-gradiented, and the loss has no
+        scene term) while the trunk + per-scene geo heads learn through
+        the quantizer. The exported checkpoint must round-trip through
+        quantize_model with isn=True routing intact."""
+        import optax
+
         from geoestimation_tpu.models.isn import ISNClassifier
 
-        model = ISNClassifier(n_classes=(4,), n_scenes=3,
+        model = ISNClassifier(n_classes=N_CLASSES, n_scenes=3,
                               arch="resnet14", dtype=jnp.float32)
         variables = model.init(jax.random.PRNGKey(0),
                                jnp.zeros((1, 64, 64, 3), jnp.float32),
                                train=False)
-        with pytest.raises(NotImplementedError):
-            fold_variables(variables, arch="resnet14")
+        rng = np.random.default_rng(5)
+        images = rng.integers(0, 256, (4, 64, 64, 3), dtype=np.uint8)
+        labels = jnp.asarray(np.stack(
+            [rng.integers(0, n, 4) for n in N_CLASSES]).astype(np.int32))
+        scales = calibrate(variables, [images], arch="resnet14",
+                           n_crops=1, crop=56)
+
+        folded = fold_variables(variables, arch="resnet14")
+        assert "scene_head" in folded["heads"]
+        scene_before = jax.device_get(folded["heads"]["scene_head"])
+        tx = optax.sgd(3e-4, momentum=0.9)
+        opt_state = tx.init(folded)
+        apply_fn = build_qat_apply("resnet14", scales,
+                                   n_classes=N_CLASSES)
+        step = jax.jit(make_qat_train_step(apply_fn, tx, crop=56),
+                       donate_argnums=(0, 1))
+        key = jax.random.PRNGKey(0)
+        losses = []
+        for i in range(20):
+            folded, opt_state, m = step(
+                folded, opt_state, jnp.asarray(images), labels, key,
+                jnp.int32(i))
+            losses.append(float(m["loss"]))
+        assert np.isfinite(losses).all()
+        assert losses[-1] < losses[0], losses
+        # the frozen gate: scene head params bit-identical
+        scene_after = jax.device_get(folded["heads"]["scene_head"])
+        for k in ("kernel", "bias"):
+            np.testing.assert_array_equal(scene_before[k], scene_after[k])
+        # geo heads actually moved
+        assert not np.array_equal(
+            jax.device_get(folded["heads"]["scene_geo_heads"]["kernel"]),
+            jax.device_get(fold_variables(variables, arch="resnet14")
+                           ["heads"]["scene_geo_heads"]["kernel"]))
+
+        # export: unfold -> quantize_model keeps ISN routing
+        new_vars = unfold_to_variables(folded, variables, arch="resnet14")
+        qnet = quantize_model(new_vars, arch="resnet14")
+        assert qnet["isn"] is True
+        # direct export agrees
+        qnet2 = quantize_folded(folded, arch="resnet14")
+        assert qnet2["isn"] is True
+        np.testing.assert_array_equal(qnet["stem"][0], qnet2["stem"][0])
+        # the quantized net routes: int8 apply runs end to end
+        apply_int8 = build_int8_apply(qnet, scales, n_classes=N_CLASSES)
+        from geoestimation_tpu.models.quant import shift_s8
+
+        x = shift_s8(jnp.asarray(images[:, :56, :56]))
+        out = apply_int8(x)
+        assert len(out) == len(N_CLASSES)
+        assert all(np.isfinite(np.asarray(o)).all() for o in out)
 
 
 class TestCLI:
