@@ -450,8 +450,27 @@ def build_int8_apply(qnet, act_scales, n_classes=None, feature_tta=None):
     stage_sizes = qnet["stage_sizes"]
     params = qnet["heads"]
 
+    import os as _os_req
+
+    # GEO_REQUANT_PROBE: hardware perf probes for the requant VPU chain
+    # (docs/PERF_NOTES.md "Int8 roofline"), NEVER for serving — both are
+    # numerically approximate. 'trunc' drops the round (1 of ~7 VPU
+    # ops); 'bf16' runs the multiply-add in bf16 (s32->bf16 loses
+    # accumulator precision). If step time tracks the removed op count,
+    # layers 1-2 are VPU-bound on this chain as the roofline analysis
+    # claims.
+    _req_probe = _os_req.environ.get("GEO_REQUANT_PROBE", "")
+
     def requant(y32, mult, bias_over_s, lo=0.0):
         # y_q = clip(round(y32 * mult + bias_over_s), lo, 127)
+        if _req_probe == "trunc":
+            y = y32.astype(jnp.float32) * mult + bias_over_s
+            return jnp.clip(y, lo, _QMAX).astype(jnp.int8)
+        if _req_probe == "bf16":
+            y = (y32.astype(jnp.bfloat16)
+                 * jnp.asarray(mult, jnp.bfloat16)
+                 + jnp.asarray(bias_over_s, jnp.bfloat16))
+            return jnp.clip(jnp.round(y), lo, _QMAX).astype(jnp.int8)
         y = y32.astype(jnp.float32) * mult + bias_over_s
         return jnp.clip(jnp.round(y), lo, _QMAX).astype(jnp.int8)
 
