@@ -165,6 +165,68 @@ def test_ref_checkpoint_supplies_the_reference(trained_textured_world,
     assert flips["hierarchy"] > 0.2, flips
 
 
+@pytest.mark.slow
+def test_quant_study_realistic_geometry_world(tmp_path_factory, tmp_path):
+    """Round-4 (VERDICT next #5): the accuracy-study harness on a
+    REALISTIC-geometry world — mixed resolutions (320-1600 px long
+    side), aspect ratios/orientations, JPEG qualities 60-95 — instead
+    of the fixed 320x280/q88 geometry every earlier study used. Pins:
+    (a) `make_demo_world --geometry realistic` actually varies geometry
+    and records it (eval_geometry.csv), (b) the study runs end-to-end
+    on such a corpus with --fast_decode (scaled-DCT kicks in on the
+    large images), (c) the artifact embeds the corpus stats so the
+    verdict is tied to the geometry it was measured on."""
+    world = str(tmp_path_factory.mktemp("rgworld"))
+    from tools.make_demo_world import main as make_world
+
+    make_world(["--output", world, "--style", "textured",
+                "--geometry", "realistic",
+                "--n_train", "160", "--n_eval", "24",
+                "--image_size", "64", "--arch", "resnet14"])
+
+    # the world really is mixed-geometry
+    import pandas as pd
+    from PIL import Image
+
+    geom = pd.read_csv(os.path.join(world, "eval_geometry.csv"))
+    assert len(geom) == 24
+    assert geom["JPEG_Q"].between(60, 95).all()
+    sizes = set()
+    for f in sorted(os.listdir(os.path.join(world, "eval_images"))):
+        with Image.open(os.path.join(world, "eval_images", f)) as im:
+            sizes.add(im.size)
+    assert len(sizes) >= 8, sizes
+    assert max(max(s) for s in sizes) >= 1024  # big Flickr-like photos
+
+    from classification.train_base import main as train_main
+
+    train_main(["--config", os.path.join(world, "demo.yml"),
+                "--max_steps", "40", "--cpu"])
+
+    from tools.quant_study import main as study_main
+
+    json_out = str(tmp_path / "study_rg.json")
+    rc = study_main([
+        "--checkpoint", os.path.join(world, "ckpt"),
+        "--image_dir", os.path.join(world, "eval_images"),
+        "--meta", os.path.join(world, "eval_meta.csv"),
+        "--cpu", "--crops", "1", "--batch_size", "8",
+        "--calib_images", "8", "--stats", "absmax",
+        "--fast_decode", "--json", json_out,
+    ])
+    assert rc == 0
+    results = json.load(open(json_out))
+    assert results["n_images"] == 24
+    assert results["fast_decode"] is True
+    corpus = results["corpus"]
+    assert corpus["n_files"] == 24
+    assert corpus["distinct_shapes"] >= 8
+    assert 0.0 < corpus["portrait_frac"] < 1.0
+    assert sum(corpus["long_side_hist_ceil256"].values()) == 24
+    assert corpus["long_side_min_med_max"][2] >= 1024
+    assert "absmax@1" in results["configs"]
+
+
 def test_quant_study_cli_help():
     """The study tool is a real CLI (discoverable surface)."""
     out = subprocess.run(

@@ -45,7 +45,31 @@ def _upsample_f32(n, w, h):
             (w, h), Image.BILINEAR))
 
 
-def textured_image(rng, scene, cue, w=320, h=280, scene_style="color"):
+# Flickr-like eval geometry (round 4, VERDICT next #5): the accuracy
+# studies previously ran on one fixed 320x280 geometry and one JPEG
+# quality, while real corpora mix resolutions (1024px dominates the
+# ingest bench), aspect ratios, orientations, and JPEG qualities. The
+# 'realistic' geometry samples all four; the stripe-cue period scales
+# with width, so the (scene, cue) -> location law survives the
+# shorter-side-256 resize at every size.
+ASPECTS = [(4, 3), (3, 4), (3, 2), (2, 3), (1, 1), (16, 9)]
+LONG_SIDES = [320, 500, 640, 800, 1024, 1280, 1600]
+LONG_SIDE_P = [0.05, 0.10, 0.15, 0.15, 0.35, 0.12, 0.08]
+
+
+def sample_geometry(rng):
+    """(w, h, jpeg_quality) for one realistic-geometry image."""
+    long_side = int(rng.choice(LONG_SIDES, p=LONG_SIDE_P))
+    aw, ah = ASPECTS[int(rng.integers(0, len(ASPECTS)))]
+    if aw >= ah:
+        w, h = long_side, max(96, round(long_side * ah / aw))
+    else:
+        h, w = long_side, max(96, round(long_side * aw / ah))
+    return w, h, int(rng.integers(60, 96))
+
+
+def textured_image(rng, scene, cue, w=320, h=280, scene_style="color",
+                   quality=None):
     """Varied, natural-image-like synthetic image for the quantization
     study (round-3): multi-octave noise background (1/f-ish spectrum),
     random luminance gradients, per-image contrast jitter, and sparse
@@ -121,13 +145,14 @@ def textured_image(rng, scene, cue, w=320, h=280, scene_style="color"):
     arr = np.clip(base, 0, 255)
     buf = io.BytesIO()
     # texture scenes need the fine checker to survive JPEG quantization
-    q = 93 if scene_style == "texture" else 88
+    q = quality if quality is not None else (
+        93 if scene_style == "texture" else 88)
     Image.fromarray(arr.astype(np.uint8)).save(buf, format="JPEG",
                                                quality=q)
     return buf.getvalue()
 
 
-def scene_image(rng, scene, cue, w=320, h=280):
+def scene_image(rng, scene, cue, w=320, h=280, quality=None):
     """Synthetic image whose appearance encodes (scene, cue).
 
     scene (0=indoor, 1=natural, 2=urban) sets the dominant color channel —
@@ -151,8 +176,8 @@ def scene_image(rng, scene, cue, w=320, h=280):
                                                                 None]
     arr = np.clip(base + rng.normal(0, 18, (h, w, 3)), 0, 255)
     buf = io.BytesIO()
-    Image.fromarray(arr.astype(np.uint8)).save(buf, format="JPEG",
-                                               quality=88)
+    Image.fromarray(arr.astype(np.uint8)).save(
+        buf, format="JPEG", quality=88 if quality is None else quality)
     return buf.getvalue()
 
 
@@ -186,6 +211,17 @@ def main(argv=None):
                         "'color' cast (easy) or 'texture' family "
                         "(fine/coarse checker/blobs; NOT color-"
                         "separable — the harder ISN scene world)")
+    p.add_argument("--geometry", default="fixed",
+                   choices=["fixed", "realistic"],
+                   help="EVAL image geometry: 'fixed' = one size/quality "
+                        "(historical studies); 'realistic' = Flickr-like "
+                        "mix of resolutions (320-1600 px long side, 1024 "
+                        "dominant), aspect ratios/orientations, and JPEG "
+                        "qualities 60-95 — the round-4 accuracy-study "
+                        "corpus. Training shards keep the fixed size "
+                        "(training decodes from the 256px loader base "
+                        "either way; eval geometry is what the decode/"
+                        "crop/calibration path actually sees)")
     p.add_argument("--scene_world", action="store_true",
                    help="entangle location with (scene, stripe-cue): the "
                         "same visual cue means a different city per scene, "
@@ -277,12 +313,23 @@ def main(argv=None):
     eval_dir = os.path.join(root, "eval_images")
     os.makedirs(eval_dir, exist_ok=True)
     meta = []
+    geom_rows = []
     for i in range(args.n_eval):
         scene, cue, lat, lng = make_example(i + 1)
         img_id = f"eval_{i:04d}.jpg"
+        if args.geometry == "realistic":
+            ew, eh, q = sample_geometry(rng)
+        else:
+            ew, eh, q = jw, jh, None
         with open(os.path.join(eval_dir, img_id), "wb") as f:
-            f.write(make_image(rng, scene, cue, jw, jh))
+            f.write(make_image(rng, scene, cue, ew, eh, quality=q))
+        geom_rows.append((img_id, ew, eh, q))
         meta.append((img_id, float(lat), float(lng), scene))
+    if args.geometry == "realistic":
+        # corpus provenance for study artifacts (VERDICT r3 next #5)
+        pd.DataFrame(geom_rows,
+                     columns=["IMG_ID", "W", "H", "JPEG_Q"]).to_csv(
+            os.path.join(root, "eval_geometry.csv"), index=False)
     # S3_Label: ground-truth scene per eval image (extra column; the
     # required IMG_ID/LAT/LON surface is untouched) — lets ISN evals
     # report scene confusion, reference README.md:209-210 convention

@@ -84,6 +84,13 @@ def main(argv=None):
                    help="per-cell GCD delta budget in percentage points "
                         "(BASELINE.md)")
     p.add_argument("--json", dest="json_out", default=None)
+    p.add_argument("--fast_decode", action="store_true",
+                   help="scaled-DCT JPEG decode on the host ingest path "
+                        "for BOTH calibration and eval batches — studies "
+                        "whether the fast decode's slightly different "
+                        "pixels move the int8 accuracy verdicts "
+                        "(round-4; matters on realistic mixed-resolution "
+                        "corpora where scaling actually kicks in)")
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--assert_budget", action="store_true",
                    help="exit 1 unless at least one setting keeps every "
@@ -173,7 +180,8 @@ def main(argv=None):
     # --- calibration: one sampling pass, scales per grid point ---------
     calib_dir = args.calib_dir or args.image_dir
     batches, n_calib = [], 0
-    for fb in iter_image_folder(calib_dir, batch_size=32):
+    for fb in iter_image_folder(calib_dir, batch_size=32,
+                                fast_decode=args.fast_decode):
         good = fb.images[np.asarray(fb.valid)]
         take = min(args.calib_images - n_calib, len(good))
         if take:
@@ -260,7 +268,8 @@ def main(argv=None):
     true_ll = []
     n_images = 0
     for fb in iter_image_folder(args.image_dir,
-                                batch_size=args.batch_size):
+                                batch_size=args.batch_size,
+                                fast_decode=args.fast_decode):
         images = jnp.asarray(fb.images)
         ref = np.asarray(fwd_fp32(images))
         outs = {
@@ -288,8 +297,46 @@ def main(argv=None):
                                true_lat, true_lng)
                   for i, k in enumerate(pred_keys)}
 
+    # corpus stats (round-4): the artifact records WHAT geometry the
+    # verdicts were measured on — a fixed-320x280 world and a realistic
+    # mixed-resolution one are different claims. Header-only reads (PIL
+    # lazy open), no second decode pass.
+    def corpus_stats(image_dir):
+        from collections import Counter
+
+        from PIL import Image as _Img
+
+        from geoestimation_tpu.data.image_folder import list_images
+
+        sizes, hist = [], Counter()
+        for pth in list_images(image_dir):
+            try:
+                with _Img.open(pth) as im:
+                    w, h = im.size
+            except OSError:
+                continue
+            sizes.append((w, h))
+            hist[int(np.ceil(max(w, h) / 256.0)) * 256] += 1
+        if not sizes:
+            return {}
+        ws = np.array([s[0] for s in sizes], np.float64)
+        hs = np.array([s[1] for s in sizes], np.float64)
+        long_side = np.maximum(ws, hs)
+        return {
+            "n_files": len(sizes),
+            "long_side_hist_ceil256": {str(k): v for k, v
+                                       in sorted(hist.items())},
+            "long_side_min_med_max": [int(long_side.min()),
+                                      int(np.median(long_side)),
+                                      int(long_side.max())],
+            "portrait_frac": float((hs > ws).mean()),
+            "distinct_shapes": int(len(set(sizes))),
+        }
+
     results = {"n_images": n_images, "n_calib": n_calib,
                "crops": n_crops, "budget_pt": args.budget,
+               "fast_decode": bool(args.fast_decode),
+               "corpus": corpus_stats(args.image_dir),
                "ref_tables": {k: {str(t): v for t, v in tb.items()}
                               for k, tb in ref_tables.items()},
                "configs": {}}
