@@ -319,20 +319,31 @@ def build_qat_apply(arch, act_scales, n_classes=None):
 # ---------------------------------------------------------------------------
 
 
-def make_qat_train_step(apply_fn, tx, crop=224, label_smoothing=0.0):
+def make_qat_train_step(apply_fn, tx, crop=224, label_smoothing=0.0,
+                        crop_scale=None):
     """Returns jittable
     `step(folded, opt_state, images_u8, labels, rng, step_no)
        -> (folded, opt_state, metrics)`.
 
-    Augmentation matches the base recipe (random crop + flip on
-    device), then shifts to the (pixel - 128) domain the QAT forward
-    consumes. Loss is the reference's summed multi-head CE."""
-    from ..ingest.pipeline import random_crop_flip
+    Augmentation matches the recipe the checkpoint was TRAINED with —
+    pass the checkpoint's `train_params.train_crop_scale` as
+    `crop_scale` to get the same RandomResizedCrop-style view
+    distribution (None = plain random crop). Fine-tuning through a
+    different view distribution than training shifts the BN-folded
+    feature statistics and inflates the starting loss before QAT has
+    done anything. Augmented pixels then shift to the (pixel - 128)
+    domain the QAT forward consumes. Loss is the reference's summed
+    multi-head CE."""
+    from ..ingest.pipeline import random_crop_flip, random_resized_crop_flip
     from .classifier import multi_head_cross_entropy
 
     def step(folded, opt_state, images_u8, labels, rng, step_no):
         step_rng = jax.random.fold_in(rng, step_no)
-        x = random_crop_flip(step_rng, images_u8, crop=crop)
+        if crop_scale is not None and tuple(crop_scale) != (1.0, 1.0):
+            x = random_resized_crop_flip(step_rng, images_u8, crop=crop,
+                                         scale=tuple(crop_scale))
+        else:
+            x = random_crop_flip(step_rng, images_u8, crop=crop)
         x = x.astype(jnp.float32) - 128.0
 
         def loss_fn(f):

@@ -205,6 +205,41 @@ class TestTraining:
         assert losses[-1] < losses[0] * 0.7, \
             f"QAT loss did not decrease: {losses[0]:.3f} -> {losses[-1]:.3f}"
 
+    def test_qat_step_crop_scale_matches_training_views(self, tiny):
+        """`make_qat_train_step(crop_scale=...)` must feed
+        RandomResizedCrop-style views (the recipe checkpoints trained
+        with train_crop_scale were built on), not plain crops — the
+        realistic-world QAT regression: fine-tuning through a
+        mismatched view distribution starts the loss off the
+        checkpoint's converged value."""
+        import optax
+
+        variables, images = tiny["variables"], tiny["images"]
+        rng = np.random.default_rng(3)
+        labels = jnp.asarray(np.stack([
+            rng.integers(0, n, len(images)) for n in N_CLASSES
+        ]).astype(np.int32))
+        folded = fold_variables(variables, arch="resnet14")
+        tx = optax.sgd(0.0)
+        apply_fn = build_qat_apply("resnet14", tiny["scales"],
+                                   n_classes=N_CLASSES)
+        key = jax.random.PRNGKey(0)
+
+        def loss_with(crop_scale):
+            step = jax.jit(make_qat_train_step(
+                apply_fn, tx, crop=56, crop_scale=crop_scale))
+            _, _, m = step(folded, tx.init(folded), jnp.asarray(images),
+                           labels, key, jnp.int32(0))
+            return float(m["loss"])
+
+        plain = loss_with(None)
+        resized = loss_with((0.3, 0.6))
+        unit = loss_with((1.0, 1.0))  # degenerate range = plain crop
+        assert np.isfinite(plain) and np.isfinite(resized)
+        # a strict zoom-in range sees genuinely different views
+        assert resized != plain
+        assert unit == plain
+
     def test_isn_qat_frozen_scene_gate(self):
         """ISN QAT (round-4, VERDICT next #9): the scene gate stays
         bit-identical through training (frozen — argmax routing passes
@@ -319,6 +354,12 @@ class TestCLI:
                 "checkpoint_dir": str(tmp_path / "ckpt"),
                 "checkpoint_every_steps": 0,
                 "image_size": 64, "steps_per_epoch": 2,
+                # exercises qat_finetune's augmentation-matching path:
+                # the QAT step must fine-tune through the SAME
+                # RandomResizedCrop view distribution the checkpoint
+                # was trained with (a plain-crop mismatch inflates the
+                # starting loss before QAT has done anything)
+                "train_crop_scale": [0.5, 1.0],
             },
         }
         cfg = str(tmp_path / "qat.yml")

@@ -144,9 +144,14 @@ def main(argv=None):
     tx = optax.sgd(args.lr, momentum=args.momentum)
     opt_state = tx.init(folded)
     apply_fn = build_qat_apply(mp.arch, scales, n_classes=n_classes)
+    crop_scale = tuple(tp.train_crop_scale) if tp.train_crop_scale else None
+    if crop_scale:
+        print(f"augmenting with the checkpoint's train_crop_scale="
+              f"{crop_scale}", flush=True)
     step_fn = jax.jit(
         make_qat_train_step(apply_fn, tx, crop=tp.image_size,
-                            label_smoothing=tp.label_smoothing),
+                            label_smoothing=tp.label_smoothing,
+                            crop_scale=crop_scale),
         donate_argnums=(0, 1))
     rng = jax.random.PRNGKey(args.seed)
 
