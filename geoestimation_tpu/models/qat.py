@@ -74,13 +74,18 @@ def fake_quant_act(x, scale, lo=0.0):
     """Per-tensor fake-quant at a serving requant site, STE gradient.
 
     Simulates `quant.build_int8_apply`'s requant in the dequantized
-    domain: q = clip(round(x/s), lo, 127) * s. `lo=0` sites fold the
-    relu into the clip exactly as serving does; the `_y3` site uses
-    lo=-127 (pre-residual, signed). Gradient is 1 inside the
-    pass-through region [lo*s, 127*s] and 0 where the clip saturates
-    (saturated activations cannot be recovered by moving x locally)."""
+    domain: q = clip(round(x/s), lo, 127) * s, with the rounding
+    function bit-matched to the serving mode
+    (`quant.requant_rounding_mode`: half-up by default, RNE under
+    GEO_REQUANT_MODE=rne). `lo=0` sites fold the relu into the clip
+    exactly as serving does; the `_y3` site uses lo=-127
+    (pre-residual, signed). Gradient is 1 inside the pass-through
+    region [lo*s, 127*s] and 0 where the clip saturates (saturated
+    activations cannot be recovered by moving x locally)."""
+    from .quant import round_like_serving
+
     y = x / scale
-    q = jnp.clip(jnp.round(y), lo, _QMAX) * scale
+    q = jnp.clip(round_like_serving(y), lo, _QMAX) * scale
     mask = (y >= lo) & (y <= _QMAX)
     return jnp.where(mask, x + jax.lax.stop_gradient(q - x),
                      jax.lax.stop_gradient(q))

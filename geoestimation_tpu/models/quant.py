@@ -51,6 +51,39 @@ from ..ops.fused_bottleneck import fold_bn
 _QMAX = 127.0
 
 
+def requant_rounding_mode():
+    """Serving rounding mode for activation requantization.
+
+    'half_up' (default): q = clip(floor(y + 0.5), lo, 127). The +0.5
+    folds into each requant's constant bias term, and at the lo=0
+    post-relu sites the f32->s8 convert's truncation performs the floor
+    — one fewer VPU op per element on the layer1/2 requant chains the
+    int8 roofline pins as VPU-bound (docs/PERF_NOTES.md "Int8
+    roofline"; measured ~+4% end-to-end ten-crop throughput). 'rne'
+    restores round-to-nearest-even. The two differ only on exact .5
+    f32 ties; table deltas under the serving mode are what
+    tools/quant_study.py measures. Weight quantization (offline,
+    `_quant_weight`) stays RNE in both modes — the weight grid and the
+    QAT STE grid are unaffected. QAT's activation fake-quant
+    (models/qat.py) reads this same knob so training-time grids match
+    serving.
+    """
+    import os
+
+    return os.environ.get("GEO_REQUANT_MODE", "half_up")
+
+
+def round_like_serving(y, mode=None):
+    """Round `y` exactly as the serving requant chain does under
+    `mode` (default: current `requant_rounding_mode()`). Used by QAT's
+    fake-quant so the training-time grid is bit-matched to serving."""
+    if mode is None:
+        mode = requant_rounding_mode()
+    if mode == "half_up":
+        return jnp.floor(y + 0.5)
+    return jnp.round(y)
+
+
 def _quant_weight(k):
     """Per-output-channel symmetric int8. k: (..., O) fp32 numpy.
 
@@ -460,6 +493,7 @@ def build_int8_apply(qnet, act_scales, n_classes=None, feature_tta=None):
     # layers 1-2 are VPU-bound on this chain as the roofline analysis
     # claims.
     _req_probe = _os_req.environ.get("GEO_REQUANT_PROBE", "")
+    _req_mode = requant_rounding_mode()
 
     def requant(y32, mult, bias_over_s, lo=0.0):
         # y_q = clip(round(y32 * mult + bias_over_s), lo, 127)
@@ -471,8 +505,28 @@ def build_int8_apply(qnet, act_scales, n_classes=None, feature_tta=None):
                  * jnp.asarray(mult, jnp.bfloat16)
                  + jnp.asarray(bias_over_s, jnp.bfloat16))
             return jnp.clip(jnp.round(y), lo, _QMAX).astype(jnp.int8)
+        if _req_mode == "half_up":
+            # round-half-up: +0.5 folds into the (constant) bias term,
+            # so at the lo=0 post-relu sites the f32->s8 convert's
+            # truncation IS the rounding — one fewer VPU op per element
+            # on the chain the int8 roofline pins as VPU-bound. The
+            # signed _y3 site needs an explicit floor (truncation rounds
+            # toward zero, which is wrong for negatives).
+            y = y32.astype(jnp.float32) * mult + (bias_over_s + 0.5)
+            if lo < 0:
+                return jnp.clip(jnp.floor(y), lo, _QMAX).astype(jnp.int8)
+            return jnp.clip(y, lo, _QMAX).astype(jnp.int8)
         y = y32.astype(jnp.float32) * mult + bias_over_s
         return jnp.clip(jnp.round(y), lo, _QMAX).astype(jnp.int8)
+
+    def requant_residual(out):
+        # residual-add tail: clip(round(out), 0, 127); half-up's +0.5 is
+        # folded into the add chain's constant by the callers below.
+        if _req_mode == "half_up":
+            return jnp.clip(out, 0.0, _QMAX).astype(jnp.int8)
+        return jnp.clip(jnp.round(out), 0.0, _QMAX).astype(jnp.int8)
+
+    _res_half = 0.5 if _req_mode == "half_up" else 0.0
 
     # --- stem (space-to-depth formulation) ---
     # The direct 7x7 s2 conv puts C=3 on lanes (125/128 wasted) and
@@ -563,7 +617,7 @@ def build_int8_apply(qnet, act_scales, n_classes=None, feature_tta=None):
             g3 = jnp.asarray(s_y3 / s_out, jnp.float32)
             kd, swd, bd = qb["downsample"]
             md = jnp.asarray(s_in * swd / s_out, jnp.float32)
-            ad = jnp.asarray(bd / s_out, jnp.float32)
+            ad = jnp.asarray(bd / s_out + _res_half, jnp.float32)
             kdj = jnp.asarray(kd)
 
             def block(x):
@@ -575,13 +629,12 @@ def build_int8_apply(qnet, act_scales, n_classes=None, feature_tta=None):
                 r = _conv_s8(x, kdj, s=stride).astype(jnp.float32) * md \
                     + ad
                 out = y3q.astype(jnp.float32) * g3 + r
-                return jnp.clip(jnp.round(out), 0.0, _QMAX).astype(
-                    jnp.int8)
+                return requant_residual(out)
         else:
             # identity blocks: conv2+conv3+add+relu+requant fuse into one
             # pass; only s8 hits HBM
             m3 = jnp.asarray(s2 * sw3 / s_out, jnp.float32)
-            a3 = jnp.asarray(b3 / s_out, jnp.float32)
+            a3 = jnp.asarray(b3 / s_out + _res_half, jnp.float32)
             md = jnp.asarray(s_in / s_out, jnp.float32)
 
             def block(x):
@@ -591,8 +644,7 @@ def build_int8_apply(qnet, act_scales, n_classes=None, feature_tta=None):
                     m2, a2)
                 y3 = _conv_s8(y, k3j).astype(jnp.float32) * m3 + a3
                 out = y3 + x.astype(jnp.float32) * md
-                return jnp.clip(jnp.round(out), 0.0, _QMAX).astype(
-                    jnp.int8)
+                return requant_residual(out)
 
         return block
 

@@ -425,3 +425,57 @@ class TestScalesProvenance:
         bad = shift_s8(jnp.asarray(calib_images[:1, :63, :63, :]))
         with pytest.raises(ValueError, match="space-to-depth"):
             apply(bad)
+
+
+class TestRequantRounding:
+    """Serving rounding mode (quant.requant_rounding_mode): half-up by
+    default — the +0.5 folds into each requant's constant bias and the
+    f32->s8 convert's truncation performs the floor at the lo=0 sites
+    (one fewer VPU op on the roofline-pinned requant chain);
+    GEO_REQUANT_MODE=rne restores round-to-nearest-even."""
+
+    def test_round_like_serving_semantics(self):
+        from geoestimation_tpu.models.quant import round_like_serving
+
+        x = jnp.asarray(
+            [1.5, 2.5, 0.5, -0.5, -1.5, -2.5, 1.49, -1.49, 3.5],
+            jnp.float32)
+        up = np.asarray(round_like_serving(x, mode="half_up"))
+        assert up.tolist() == [2, 3, 1, 0, -1, -2, 1, -1, 4]
+        rne = np.asarray(round_like_serving(x, mode="rne"))
+        assert np.array_equal(
+            rne, np.asarray([2, 2, 0, -0, -2, -2, 1, -1, 4], np.float32))
+
+    def test_trunc_convert_is_floor_for_nonneg(self):
+        """The half-up fast path relies on XLA's f32->s8 convert
+        truncating toward zero (== floor for the clipped-nonnegative
+        post-relu sites). Pin that convert semantics."""
+        y = jnp.asarray([0.0, 0.49, 0.5, 0.99, 1.0, 126.99, 127.0],
+                        jnp.float32)
+        got = np.asarray(jnp.clip(y, 0.0, 127.0).astype(jnp.int8))
+        assert got.tolist() == [0, 0, 0, 0, 1, 126, 127]
+
+    def test_modes_agree_off_ties_e2e(self, model_and_vars, calib_images,
+                                      monkeypatch):
+        """half_up and rne differ only on exact .5 f32 ties, so the two
+        modes' logits must stay near-identical end to end (a tie moves
+        a requant output by exactly one int8 step)."""
+        _, variables = model_and_vars
+        scales = calibrate(variables, [calib_images], arch="resnet50",
+                           n_crops=1, crop=64)
+        qnet = quantize_model(variables, arch="resnet50")
+        crops_s8 = eval_pipeline_s8(jnp.asarray(calib_images), n_crops=1,
+                                    crop=64)
+        outs = {}
+        for mode in ("half_up", "rne"):
+            monkeypatch.setenv("GEO_REQUANT_MODE", mode)
+            apply = build_int8_apply(qnet, scales, n_classes=N_CLASSES)
+            outs[mode] = [np.asarray(g, np.float64)
+                          for g in apply(crops_s8)]
+        for a, b in zip(outs["half_up"], outs["rne"]):
+            ac, bc = a - a.mean(), b - b.mean()
+            corr = (ac * bc).sum() / (
+                np.linalg.norm(ac) * np.linalg.norm(bc) + 1e-12)
+            assert corr > 0.999, f"mode logit correlation {corr}"
+            scale = max(np.abs(b).max(), 1e-6)
+            assert np.abs(a - b).max() / scale < 0.05

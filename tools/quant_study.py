@@ -91,6 +91,16 @@ def main(argv=None):
                         "pixels move the int8 accuracy verdicts "
                         "(round-4; matters on realistic mixed-resolution "
                         "corpora where scaling actually kicks in)")
+    p.add_argument("--pinned_scales", action="store_true",
+                   help="evaluate the checkpoint's own int8_scales.json "
+                        "(e.g. QAT-trained scales, which the serving "
+                        "engine pins on weights-hash for qat/distill "
+                        "sources) instead of a fresh-calibration grid. "
+                        "This measures exactly what serving runs: a QAT "
+                        "checkpoint is only meaningful WITH its trained "
+                        "scales — recalibrating on its fp32 forward "
+                        "measures a configuration serving never uses "
+                        "(docs/QUANTIZATION.md round-4 QAT findings)")
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--assert_budget", action="store_true",
                    help="exit 1 unless at least one setting keeps every "
@@ -177,31 +187,48 @@ def main(argv=None):
             model_from_config(ref_config, parts), dtype=jnp.float32)
     n_crops = args.crops
 
-    # --- calibration: one sampling pass, scales per grid point ---------
-    calib_dir = args.calib_dir or args.image_dir
-    batches, n_calib = [], 0
-    for fb in iter_image_folder(calib_dir, batch_size=32,
-                                fast_decode=args.fast_decode):
-        good = fb.images[np.asarray(fb.valid)]
-        take = min(args.calib_images - n_calib, len(good))
-        if take:
-            batches.append(good[:take])
-            n_calib += take
-        if n_calib >= args.calib_images:
-            break
-    print(f"calibrating on {n_calib} images from {calib_dir} "
-          f"(one sampling pass)", flush=True)
-    samples = calibrate_samples(variables, batches, arch=mp.arch,
-                                n_crops=n_crops, crop=224)
-    base_grid = parse_grid(args.stats, args.headrooms)
     # configs are (stat, headroom, mode); 'feature<L>' = feature-space
     # TTA cropping at layer L
     ft_levels = ([int(x) for x in args.feature_tta_levels.split(",")]
                  if args.feature_tta else [])
-    grid = [(s, h, "exact") for s, h in base_grid]
-    for lvl in ft_levels:
-        grid += [(s, h, f"feature{lvl}") for s, h in base_grid]
-    scale_sets = {g: derive_scales(samples, g[0], g[1]) for g in grid}
+    if args.pinned_scales:
+        # evaluate the serving configuration: the checkpoint's own
+        # pinned scales (no calibration pass at all)
+        scales_path = os.path.join(args.checkpoint, "int8_scales.json")
+        with open(scales_path) as f:
+            doc = json.load(f)
+        prov = doc.get("provenance", {})
+        label = (f"pinned:{prov.get('source', '?')}"
+                 f"/{prov.get('stat', '?')}")
+        n_calib = int(prov.get("n_images", 0))
+        grid = [(label, float(prov.get("headroom", 1.0)), "exact")]
+        grid += [(label, float(prov.get("headroom", 1.0)),
+                  f"feature{lvl}") for lvl in ft_levels]
+        scale_sets = {g: dict(doc["scales"]) for g in grid}
+        print(f"using pinned scales from {scales_path} ({label})",
+              flush=True)
+    else:
+        # --- calibration: one sampling pass, scales per grid point ----
+        calib_dir = args.calib_dir or args.image_dir
+        batches, n_calib = [], 0
+        for fb in iter_image_folder(calib_dir, batch_size=32,
+                                    fast_decode=args.fast_decode):
+            good = fb.images[np.asarray(fb.valid)]
+            take = min(args.calib_images - n_calib, len(good))
+            if take:
+                batches.append(good[:take])
+                n_calib += take
+            if n_calib >= args.calib_images:
+                break
+        print(f"calibrating on {n_calib} images from {calib_dir} "
+              f"(one sampling pass)", flush=True)
+        samples = calibrate_samples(variables, batches, arch=mp.arch,
+                                    n_crops=n_crops, crop=224)
+        base_grid = parse_grid(args.stats, args.headrooms)
+        grid = [(s, h, "exact") for s, h in base_grid]
+        for lvl in ft_levels:
+            grid += [(s, h, f"feature{lvl}") for s, h in base_grid]
+        scale_sets = {g: derive_scales(samples, g[0], g[1]) for g in grid}
 
     # --- jitted forwards: fp32 reference + ONE dynamic int8 graph ------
     def fold_predict(logits):
@@ -333,9 +360,12 @@ def main(argv=None):
             "distinct_shapes": int(len(set(sizes))),
         }
 
+    from geoestimation_tpu.models.quant import requant_rounding_mode
+
     results = {"n_images": n_images, "n_calib": n_calib,
                "crops": n_crops, "budget_pt": args.budget,
                "fast_decode": bool(args.fast_decode),
+               "requant_mode": requant_rounding_mode(),
                "corpus": corpus_stats(args.image_dir),
                "ref_tables": {k: {str(t): v for t, v in tb.items()}
                               for k, tb in ref_tables.items()},
