@@ -70,7 +70,7 @@ def fake_quant_weight(k):
     return k + jax.lax.stop_gradient(q - k)
 
 
-def fake_quant_act(x, scale, lo=0.0):
+def fake_quant_act(x, scale, lo=0.0, upper_ste=False):
     """Per-tensor fake-quant at a serving requant site, STE gradient.
 
     Simulates `quant.build_int8_apply`'s requant in the dequantized
@@ -79,14 +79,28 @@ def fake_quant_act(x, scale, lo=0.0):
     (`quant.requant_rounding_mode`: half-up by default, RNE under
     GEO_REQUANT_MODE=rne). `lo=0` sites fold the relu into the clip
     exactly as serving does; the `_y3` site uses lo=-127
-    (pre-residual, signed). Gradient is 1 inside the pass-through
-    region [lo*s, 127*s] and 0 where the clip saturates (saturated
-    activations cannot be recovered by moving x locally)."""
+    (pre-residual, signed).
+
+    Gradient: 1 inside the pass-through region, 0 below `lo` at the
+    relu (lo=0) sites — that side is a real relu. The UPPER clip's
+    gradient is the `upper_ste` knob. The masked default (0 above
+    127*s) is the textbook rule, but it is a one-way RATCHET: an
+    activation pushed past the ceiling by updates elsewhere can never
+    receive a gradient pulling it back. Measured on the realistic
+    world (docs/QUANTIZATION.md round-4): 400 masked-STE steps drove
+    34% of fp32 activation mass above the ceiling (0% before QAT) and
+    broke the exported checkpoint's fp32 path. `upper_ste=True` passes
+    gradient 1 through the upper clip (and through both clips at the
+    signed `_y3` site, where the lower bound is also quantizer-imposed,
+    not a relu) so saturation stays loss-coupled."""
     from .quant import round_like_serving
 
     y = x / scale
     q = jnp.clip(round_like_serving(y), lo, _QMAX) * scale
-    mask = (y >= lo) & (y <= _QMAX)
+    if upper_ste:
+        mask = (y >= lo) if lo == 0.0 else jnp.full(y.shape, True)
+    else:
+        mask = (y >= lo) & (y <= _QMAX)
     return jnp.where(mask, x + jax.lax.stop_gradient(q - x),
                      jax.lax.stop_gradient(q))
 
@@ -221,7 +235,8 @@ def unfold_to_variables(folded, variables, arch="resnet50", eps=1e-5):
 # ---------------------------------------------------------------------------
 
 
-def build_qat_apply(arch, act_scales, n_classes=None):
+def build_qat_apply(arch, act_scales, n_classes=None, fake_quant=True,
+                    taps=False, upper_ste=False):
     """Returns `apply(folded, x) -> [per-head fp32 logits]`.
 
     `x`: (B, H, W, 3) float32 in the (pixel - 128) domain — integer
@@ -231,12 +246,31 @@ def build_qat_apply(arch, act_scales, n_classes=None):
     dataset mean"), same fake-quant grid per weight, same requant-site
     placement (m1/m2/out + entry-block `_y3`), same clip bounds. Heads
     run un-quantized fp32 (serving keeps them bf16). Differentiable
-    end to end via the STE primitives above."""
+    end to end via the STE primitives above.
+
+    `fake_quant=False` builds the same graph WITHOUT the quantizer
+    (plain weights, relu instead of the clipped grid): the exact folded
+    fp32 forward of the original network, used as the frozen TEACHER
+    for the anchored QAT loss (`make_qat_train_step(anchor_weight=)`)
+    and by the saturation probe.
+
+    `taps=True` makes apply return `(logits, sat)` where `sat` maps
+    each activation site to the fraction of values ABOVE the site's
+    clip ceiling (y/scale > 127) — the clip-saturation diagnostic. With
+    `fake_quant=False` it measures what the fp32 forward WOULD clip,
+    i.e. how far the weights have ratcheted into the quantizer's
+    saturated region where the STE mask passes no recovery gradient."""
     stage_sizes = STAGE_SIZES[arch]
     mean255 = np.asarray(IMAGENET_MEAN, np.float32) * 255.0
-    pad_val = jnp.asarray(
-        np.clip(np.round(mean255 - 128.0), -128, 127), jnp.float32)
+    if fake_quant:
+        pad_val = jnp.asarray(
+            np.clip(np.round(mean255 - 128.0), -128, 127), jnp.float32)
+    else:
+        # teacher mode pads with the exact (unquantized) dataset mean —
+        # the original model's zero in the normalized domain
+        pad_val = jnp.asarray(mean255 - 128.0, jnp.float32)
     scales = {k: jnp.float32(v) for k, v in act_scales.items()}
+    fq_w = fake_quant_weight if fake_quant else (lambda k: k)
 
     def conv(v, k, s=1, pad="VALID"):
         return jax.lax.conv_general_dilated(
@@ -244,13 +278,26 @@ def build_qat_apply(arch, act_scales, n_classes=None):
             dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
     def apply(folded, x):
+        sat = {}
+
+        def act(v, site, lo=0.0):
+            if taps:
+                sat[site] = jnp.mean(
+                    (v / scales[site] > _QMAX).astype(jnp.float32))
+            if fake_quant:
+                return fake_quant_act(v, scales[site], lo=lo,
+                                      upper_ste=upper_ste)
+            # teacher: the original nonlinearity at this site — relu at
+            # the lo=0 (post-relu) sites, identity at the signed _y3
+            return jnp.maximum(v, 0.0) if lo == 0.0 else v
+
         # --- stem: explicit per-channel border pad, 7x7 s2, relu via
         # the lo=0 fake-quant clip, s8-domain max-pool ---
         xp = jnp.pad(x - pad_val, ((0, 0), (3, 3), (3, 3), (0, 0))) \
             + pad_val
-        y = conv(xp, fake_quant_weight(folded["stem"]["kernel"]), s=2) \
+        y = conv(xp, fq_w(folded["stem"]["kernel"]), s=2) \
             + folded["stem"]["bias"]
-        y = fake_quant_act(y, scales["stem"], lo=0.0)
+        y = act(y, "stem", lo=0.0)
         # 3x3/s2 SAME max-pool, same values as quant.max_pool_3x3_s2 on
         # f32. The init value MUST be a python literal: an array init
         # demotes XLA's reduce_window_max (which has an autodiff rule)
@@ -265,26 +312,22 @@ def build_qat_apply(arch, act_scales, n_classes=None):
                 name = f"layer{stage + 1}_block{bidx}"
                 fb = folded["blocks"][name]
                 stride = 2 if stage > 0 and bidx == 0 else 1
-                h = fake_quant_act(
-                    conv(y, fake_quant_weight(fb["conv1"]["kernel"]))
-                    + fb["conv1"]["bias"], scales[f"{name}_m1"], lo=0.0)
-                h = fake_quant_act(
-                    conv(h, fake_quant_weight(fb["conv2"]["kernel"]),
-                         s=stride, pad=((1, 1), (1, 1)))
-                    + fb["conv2"]["bias"], scales[f"{name}_m2"], lo=0.0)
-                h3 = conv(h, fake_quant_weight(fb["conv3"]["kernel"])) \
+                h = act(conv(y, fq_w(fb["conv1"]["kernel"]))
+                        + fb["conv1"]["bias"], f"{name}_m1", lo=0.0)
+                h = act(conv(h, fq_w(fb["conv2"]["kernel"]),
+                             s=stride, pad=((1, 1), (1, 1)))
+                        + fb["conv2"]["bias"], f"{name}_m2", lo=0.0)
+                h3 = conv(h, fq_w(fb["conv3"]["kernel"])) \
                     + fb["conv3"]["bias"]
                 if "downsample" in fb:
                     # entry block: conv3 requants standalone (signed)
-                    h3 = fake_quant_act(h3, scales[f"{name}_y3"],
-                                        lo=-_QMAX)
+                    h3 = act(h3, f"{name}_y3", lo=-_QMAX)
                     res = conv(
-                        y, fake_quant_weight(fb["downsample"]["kernel"]),
+                        y, fq_w(fb["downsample"]["kernel"]),
                         s=stride) + fb["downsample"]["bias"]
                 else:
                     res = y
-                y = fake_quant_act(h3 + res, scales[f"{name}_out"],
-                                   lo=0.0)
+                y = act(h3 + res, f"{name}_out", lo=0.0)
 
         feats = jnp.mean(y, axis=(1, 2))
         heads = folded["heads"]
@@ -309,12 +352,12 @@ def build_qat_apply(arch, act_scales, n_classes=None):
             hb = heads["fused_head"]["bias"]
             logits = feats @ hk + hb
         if n_classes is None:
-            return logits
+            return (logits, sat) if taps else logits
         out, start = [], 0
         for n in n_classes:
             out.append(logits[:, start:start + n])
             start += n
-        return out
+        return (out, sat) if taps else out
 
     return apply
 
@@ -325,7 +368,8 @@ def build_qat_apply(arch, act_scales, n_classes=None):
 
 
 def make_qat_train_step(apply_fn, tx, crop=224, label_smoothing=0.0,
-                        crop_scale=None):
+                        crop_scale=None, anchor_weight=0.0,
+                        teacher_apply=None, teacher_folded=None):
     """Returns jittable
     `step(folded, opt_state, images_u8, labels, rng, step_no)
        -> (folded, opt_state, metrics)`.
@@ -338,9 +382,24 @@ def make_qat_train_step(apply_fn, tx, crop=224, label_smoothing=0.0,
     feature statistics and inflates the starting loss before QAT has
     done anything. Augmented pixels then shift to the (pixel - 128)
     domain the QAT forward consumes. Loss is the reference's summed
-    multi-head CE."""
+    multi-head CE.
+
+    `anchor_weight > 0` adds per-head
+    `KL(teacher || student)` against the FROZEN original network
+    (`teacher_apply` = `build_qat_apply(..., fake_quant=False)`,
+    `teacher_folded` = the pre-QAT folded weights, captured under
+    stop_gradient). The anchor is the same load-bearing term
+    tools/tta_distill.py needed (docs/QUANTIZATION.md): CE on train
+    labels alone lets a few hundred fine-tune steps drift the
+    checkpoint's held-out predictions past the cross-checkpoint parity
+    budget — the anchor directly optimizes the contract quant_study
+    measures (int8 vs the ORIGINAL's fp32 tables)."""
     from ..ingest.pipeline import random_crop_flip, random_resized_crop_flip
     from .classifier import multi_head_cross_entropy
+
+    if anchor_weight and (teacher_apply is None or teacher_folded is None):
+        raise ValueError("anchor_weight > 0 needs teacher_apply and "
+                         "teacher_folded")
 
     def step(folded, opt_state, images_u8, labels, rng, step_no):
         step_rng = jax.random.fold_in(rng, step_no)
@@ -351,19 +410,33 @@ def make_qat_train_step(apply_fn, tx, crop=224, label_smoothing=0.0,
             x = random_crop_flip(step_rng, images_u8, crop=crop)
         x = x.astype(jnp.float32) - 128.0
 
+        if anchor_weight:
+            t_logits = [jax.lax.stop_gradient(t)
+                        for t in teacher_apply(teacher_folded, x)]
+
         def loss_fn(f):
             logits = apply_fn(f, x)
             total, per_head = multi_head_cross_entropy(
                 logits, labels, label_smoothing=label_smoothing)
-            return total, per_head
+            anchor = 0.0
+            if anchor_weight:
+                for t, s in zip(t_logits, logits):
+                    p = jax.nn.softmax(t, axis=-1)
+                    anchor += jnp.mean(jnp.sum(
+                        p * (jax.nn.log_softmax(t, axis=-1)
+                             - jax.nn.log_softmax(s, axis=-1)), axis=-1))
+                total = total + anchor_weight * anchor
+            return total, (per_head, anchor)
 
-        (loss, per_head), grads = jax.value_and_grad(
+        (loss, (per_head, anchor)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(folded)
         updates, opt_state = tx.update(grads, opt_state, folded)
         folded = jax.tree.map(lambda p, u: p + u, folded, updates)
         metrics = {"loss": loss,
                    **{f"loss_head{i}": l
                       for i, l in enumerate(per_head)}}
+        if anchor_weight:
+            metrics["anchor_kl"] = anchor
         return folded, opt_state, metrics
 
     return step

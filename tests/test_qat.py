@@ -105,6 +105,29 @@ class TestPrimitives:
             lambda v: jnp.sum(fake_quant_act(v, s, lo=-127.0)))(x))
         assert np.allclose(g2, [1.0, 1.0, 1.0, 1.0, 0.0])
 
+    def test_upper_ste_gradient_de_ratchets(self):
+        """upper_ste=True: gradient passes through the UPPER clip (the
+        saturation-ratchet fix) while the relu's lower side keeps its
+        zero gradient; at the signed _y3 site (lo=-127, a
+        quantizer-imposed bound, not a relu) both clips pass."""
+        s = 0.5
+        x = jnp.asarray([-80.0 * s, -1.0, 0.2, 127 * s, 200 * s])
+        # values are unchanged by the knob (same forward)
+        y_m = np.asarray(fake_quant_act(x, s, lo=0.0))
+        y_u = np.asarray(fake_quant_act(x, s, lo=0.0, upper_ste=True))
+        assert np.array_equal(y_m, y_u)
+        g = np.asarray(jax.grad(lambda v: jnp.sum(
+            fake_quant_act(v, s, lo=0.0, upper_ste=True)))(x))
+        assert np.allclose(g, [0.0, 0.0, 1.0, 1.0, 1.0])
+        g2 = np.asarray(jax.grad(lambda v: jnp.sum(
+            fake_quant_act(v, s, lo=-127.0, upper_ste=True)))(x))
+        assert np.allclose(g2, [1.0, 1.0, 1.0, 1.0, 1.0])
+        # below-the-signed-floor values also pass
+        g3 = np.asarray(jax.grad(lambda v: jnp.sum(
+            fake_quant_act(v, s, lo=-127.0, upper_ste=True)))(
+                jnp.asarray([-200.0 * s])))
+        assert np.allclose(g3, [1.0])
+
 
 class TestFolding:
     def test_quantize_folded_matches_quantize_model(self, tiny):
@@ -309,6 +332,123 @@ class TestTraining:
         assert all(np.isfinite(np.asarray(o)).all() for o in out)
 
 
+class TestAnchoredQAT:
+    """Round-4 additions: the frozen fp32 teacher (fake_quant=False),
+    the saturation taps, and the KL anchor term — built after the
+    realistic-world QAT regression where plain-CE fine-tuning drifted
+    held-out predictions 3 pt past the cross-checkpoint parity budget
+    (docs/QUANTIZATION.md round-4 findings)."""
+
+    def test_teacher_mode_is_the_folded_fp32_forward(self, tiny):
+        """build_qat_apply(fake_quant=False) must BE the original
+        network: same logits as model.apply on normalized pixels (the
+        folded graph consumes pixel-128 instead)."""
+        from geoestimation_tpu.ingest.pipeline import normalize
+
+        model, variables = tiny["model"], tiny["variables"]
+        u8 = jnp.asarray(tiny["images"])
+        ref = model.apply(variables, normalize(u8, jnp.float32),
+                          train=False)
+        folded = fold_variables(variables, arch="resnet14")
+        teacher = build_qat_apply("resnet14", tiny["scales"],
+                                  n_classes=N_CLASSES, fake_quant=False)
+        got = teacher(folded, u8.astype(jnp.float32) - 128.0)
+        for g, r in zip(got, ref):
+            np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                       rtol=0.1, atol=0.15)
+            np.testing.assert_array_equal(
+                np.asarray(g).argmax(-1), np.asarray(r).argmax(-1))
+
+    def test_saturation_taps(self, tiny):
+        """taps=True returns the per-site fraction of values above the
+        clip ceiling — ~0 under generous scales, large under scales
+        squeezed far below the activation range."""
+        variables = tiny["variables"]
+        folded = fold_variables(variables, arch="resnet14")
+        x = jnp.asarray(tiny["images"], jnp.float32) - 128.0
+
+        generous = {k: v * 100.0 for k, v in tiny["scales"].items()}
+        apply_g = build_qat_apply("resnet14", generous,
+                                  n_classes=N_CLASSES, fake_quant=False,
+                                  taps=True)
+        _, sat = apply_g(folded, x)
+        assert set(sat) == set(tiny["scales"])
+        assert all(float(v) == 0.0 for v in sat.values())
+
+        squeezed = {k: v / 1000.0 for k, v in tiny["scales"].items()}
+        apply_s = build_qat_apply("resnet14", squeezed,
+                                  n_classes=N_CLASSES, fake_quant=False,
+                                  taps=True)
+        _, sat_s = apply_s(folded, x)
+        assert float(sat_s["stem"]) > 0.25
+
+    def test_anchor_requires_teacher(self, tiny):
+        import optax
+
+        apply_fn = build_qat_apply("resnet14", tiny["scales"],
+                                   n_classes=N_CLASSES)
+        with pytest.raises(ValueError, match="teacher"):
+            make_qat_train_step(apply_fn, optax.sgd(1e-4), crop=56,
+                                anchor_weight=1.0)
+
+    def test_anchored_step_pins_predictions(self, tiny):
+        """Fine-tuning on random labels drifts the net away from the
+        teacher; the anchor term must hold the student's held-out-view
+        KL to the teacher well below the unanchored run's (the contract
+        quant_study's --ref_checkpoint measures). Weight 1.0 — the
+        CPU sweep that sized this test measured eval-KL 121.7 (free) →
+        6.8 (aw=1) → 1.0 (aw=3), and DIVERGENCE at aw ≥ 10 under
+        SGD+momentum (the same instability tta_distill documented),
+        so the tool's recommended range is ~0.3-3."""
+        import optax
+
+        variables, images = tiny["variables"], tiny["images"]
+        rng = np.random.default_rng(17)
+        labels = jnp.asarray(np.stack([
+            rng.integers(0, n, len(images)) for n in N_CLASSES
+        ]).astype(np.int32))
+        x_eval = jnp.asarray(images[:, :56, :56], jnp.float32) - 128.0
+        apply_fn = build_qat_apply("resnet14", tiny["scales"],
+                                   n_classes=N_CLASSES)
+        teacher_apply = build_qat_apply("resnet14", tiny["scales"],
+                                        n_classes=N_CLASSES,
+                                        fake_quant=False)
+        t_folded = fold_variables(variables, arch="resnet14")
+        t_logits = teacher_apply(t_folded, x_eval)
+
+        def eval_kl(got):
+            tot = 0.0
+            for t, s in zip(t_logits, got):
+                p = jax.nn.softmax(t, -1)
+                tot += float(jnp.mean(jnp.sum(
+                    p * (jax.nn.log_softmax(t, -1)
+                         - jax.nn.log_softmax(s, -1)), -1)))
+            return tot
+
+        def drift(anchor_weight):
+            folded = fold_variables(variables, arch="resnet14")
+            tx = optax.sgd(3e-4, momentum=0.9)
+            opt_state = tx.init(folded)
+            step = jax.jit(make_qat_train_step(
+                apply_fn, tx, crop=56, anchor_weight=anchor_weight,
+                teacher_apply=teacher_apply, teacher_folded=t_folded),
+                donate_argnums=(0, 1))
+            key = jax.random.PRNGKey(0)
+            m = None
+            for i in range(25):
+                folded, opt_state, m = step(
+                    folded, opt_state, jnp.asarray(images), labels, key,
+                    jnp.int32(i))
+            if anchor_weight:
+                assert np.isfinite(float(m["anchor_kl"]))
+            return eval_kl(apply_fn(folded, x_eval))
+
+        free = drift(0.0)
+        pinned = drift(1.0)
+        # measured here: free ~22, pinned ~6 (3.6x separation)
+        assert pinned < free * 0.5, (free, pinned)
+
+
 class TestCLI:
     def test_finetune_export_serves(self, tmp_path):
         """Full loop: train 2 steps -> QAT fine-tune 2 steps -> the
@@ -401,3 +541,29 @@ class TestCLI:
 
         df = pd.read_csv(out_csv)
         assert len(df) == 2 * 3  # coarse, middle, hierarchy
+
+        # non-harmful by construction: at lr 0 no step can improve the
+        # parity proxy, so snapshot retention must export the ORIGINAL
+        # weights (fold-equal to the input checkpoint)
+        out0 = str(tmp_path / "ckpt_qat_lr0")
+        rc = qat_main(["--checkpoint", str(tmp_path / "ckpt"),
+                       "--out", out0, "--steps", "2", "--lr", "0",
+                       "--calib_images", "8", "--batch_size", "4",
+                       "--eval_images", "8", "--eval_every", "1",
+                       "--eval_dir", str(img_dir),
+                       "--cpu"])
+        assert rc == 0
+        from geoestimation_tpu.train.checkpoint import load_for_inference
+
+        _, st_orig = load_for_inference(str(tmp_path / "ckpt"))
+        _, st_qat0 = load_for_inference(out0)
+        f_orig = fold_variables(
+            {"params": st_orig["params"],
+             "batch_stats": st_orig["batch_stats"]}, arch="resnet14")
+        f_qat0 = fold_variables(
+            {"params": st_qat0["params"],
+             "batch_stats": st_qat0["batch_stats"]}, arch="resnet14")
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-5),
+            f_orig, f_qat0)

@@ -6,6 +6,18 @@ the checkpoint, calibrate serving activation scales once, fine-tune the
 BN-folded network THROUGH the int8 fake-quantizer (models/qat.py) on
 the original training data for a few hundred steps at low LR, and write
 
+Non-harmful by construction (round 4): every --eval_every steps the
+tool measures KL(fp32 teacher || student-through-quantizer) at eval
+geometry on a --eval_images slice — INCLUDING step -1, the original
+weights, i.e. plain PTQ — and exports the best snapshot seen. If no
+fine-tune step beats the PTQ floor (the realistic-world case:
+docs/QUANTIZATION.md "drift, the saturation ratchet, and snapshot
+retention"), the original weights ship with an explicit message.
+--anchor_weight adds a KL anchor to the frozen fp32 teacher;
+--upper_ste passes gradient through the upper clip (both measured,
+both documented dead ends on the realistic corpus — the ratchet and
+the escalator).
+
   * a standard checkpoint (identity BNs) that every existing CLI and
     the bf16 path consume unchanged, and
   * the matching `int8_scales.json` (v2 provenance, source="qat") so
@@ -46,6 +58,50 @@ def main(argv=None):
     p.add_argument("--momentum", type=float, default=0.9)
     p.add_argument("--batch_size", type=int, default=None,
                    help="default: train_params.batch_size")
+    p.add_argument("--anchor_weight", type=float, default=0.0,
+                   help="weight of the per-head KL(teacher || student) "
+                        "anchor against the FROZEN original network. "
+                        "0 = plain CE fine-tuning. On corpora with high "
+                        "view diversity, CE alone drifts held-out "
+                        "predictions past the cross-checkpoint parity "
+                        "budget within a few hundred steps; the anchor "
+                        "directly optimizes the contract quant_study "
+                        "measures (docs/QUANTIZATION.md round-4 "
+                        "findings)")
+    p.add_argument("--upper_ste", action="store_true",
+                   help="pass gradient 1 through the UPPER fake-quant "
+                        "clip (and both clips at the signed _y3 site) "
+                        "instead of the masked-STE zero. The masked "
+                        "default is a one-way saturation ratchet: "
+                        "activations pushed past the ceiling never get "
+                        "a recovery gradient (measured 34-38% of fp32 "
+                        "activation mass above the ceiling after 400 "
+                        "masked steps on the realistic world — "
+                        "docs/QUANTIZATION.md round-4 findings)")
+    p.add_argument("--eval_images", type=int, default=128,
+                   help="size of the parity-proxy slice used for "
+                        "best-snapshot retention: every --eval_every "
+                        "steps the tool measures KL(teacher || student) "
+                        "at EVAL geometry (center crop) on these images "
+                        "and finally exports the best snapshot seen — "
+                        "including step 0, i.e. if no QAT point beats "
+                        "plain PTQ the ORIGINAL weights are exported "
+                        "and the tool says so (the non-harmful design "
+                        "tools/tta_distill.py validated). 0 disables "
+                        "retention (export the last step). The slice is "
+                        "drawn from the training stream, so it guards "
+                        "against drift, not against memorizing the "
+                        "train set — verdicts still come from "
+                        "tools/quant_study.py on held-out data")
+    p.add_argument("--eval_every", type=int, default=20)
+    p.add_argument("--eval_dir", default=None,
+                   help="image folder to draw the parity-proxy slice "
+                        "from (true eval-geometry pixels through the "
+                        "serving ingest; unlabeled is fine — the proxy "
+                        "is a KL, not an accuracy). Default: draw from "
+                        "the train stream, whose stored geometry can "
+                        "hide eval-corpus diversity (mixed resolutions/"
+                        "qualities) on realistic corpora")
     p.add_argument("--calib_images", type=int, default=64)
     p.add_argument("--calib_stat", default="absmax",
                    choices=["absmax", "p999", "p9999"])
@@ -143,28 +199,116 @@ def main(argv=None):
     folded = fold_variables(variables, arch=mp.arch)
     tx = optax.sgd(args.lr, momentum=args.momentum)
     opt_state = tx.init(folded)
-    apply_fn = build_qat_apply(mp.arch, scales, n_classes=n_classes)
+    apply_fn = build_qat_apply(mp.arch, scales, n_classes=n_classes,
+                               upper_ste=args.upper_ste)
     crop_scale = tuple(tp.train_crop_scale) if tp.train_crop_scale else None
     if crop_scale:
         print(f"augmenting with the checkpoint's train_crop_scale="
               f"{crop_scale}", flush=True)
+    teacher_apply = teacher_folded = None
+    if args.anchor_weight or args.eval_images:
+        # frozen fp32 teacher: the same folded graph WITHOUT the
+        # quantizer — a second fold gives an untouched copy (the
+        # student tree is donated each step)
+        teacher_apply = build_qat_apply(mp.arch, scales,
+                                        n_classes=n_classes,
+                                        fake_quant=False)
+        teacher_folded = fold_variables(variables, arch=mp.arch)
+    if args.anchor_weight:
+        print(f"anchored QAT: KL(teacher || student) x "
+              f"{args.anchor_weight:g}", flush=True)
+
+    # --- parity-proxy slice for best-snapshot retention ----------------
+    kl_fn = None
+    if args.eval_images:
+        from geoestimation_tpu.ingest.pipeline import eval_pipeline_s8
+
+        ev, n_ev = [], 0
+        if args.eval_dir:
+            from geoestimation_tpu.data.image_folder import (
+                iter_image_folder,
+            )
+
+            for fb in iter_image_folder(args.eval_dir, batch_size=32):
+                good = fb.images[np.asarray(fb.valid)]
+                take = min(args.eval_images - n_ev, len(good))
+                if take:
+                    ev.append(good[:take])
+                    n_ev += take
+                if n_ev >= args.eval_images:
+                    break
+        else:
+            while n_ev < args.eval_images:
+                fb = next(it)
+                take = min(args.eval_images - n_ev, len(fb.images))
+                ev.append(fb.images[:take])
+                n_ev += take
+        x_ev = eval_pipeline_s8(
+            jnp.asarray(np.concatenate(ev, axis=0)), n_crops=1,
+            crop=tp.image_size).astype(jnp.float32)
+        t_ev = [jax.lax.stop_gradient(t)
+                for t in teacher_apply(teacher_folded, x_ev)]
+
+        @jax.jit
+        def kl_fn(folded):
+            kl = 0.0
+            for t, s in zip(t_ev, apply_fn(folded, x_ev)):
+                p = jax.nn.softmax(t, axis=-1)
+                kl += jnp.mean(jnp.sum(
+                    p * (jax.nn.log_softmax(t, axis=-1)
+                         - jax.nn.log_softmax(s, axis=-1)), axis=-1))
+            return kl
+
+        print(f"snapshot retention: {n_ev}-image parity proxy at eval "
+              f"geometry, every {args.eval_every} steps", flush=True)
     step_fn = jax.jit(
         make_qat_train_step(apply_fn, tx, crop=tp.image_size,
                             label_smoothing=tp.label_smoothing,
-                            crop_scale=crop_scale),
+                            crop_scale=crop_scale,
+                            anchor_weight=args.anchor_weight,
+                            teacher_apply=teacher_apply,
+                            teacher_folded=teacher_folded),
         donate_argnums=(0, 1))
     rng = jax.random.PRNGKey(args.seed)
 
     t0 = time.time()
+    best_kl, best_step, best_folded = None, -1, None
+    if kl_fn is not None:
+        # step "-1" = the original weights through the quantizer: plain
+        # PTQ at these scales. QAT must beat this to export anything.
+        best_kl = float(kl_fn(folded))
+        best_folded = jax.device_get(folded)
+        print(f"step    -1  proxy_kl {best_kl:.5f}  (PTQ floor)",
+              flush=True)
     for i in range(args.steps):
         fb = next(it)
         folded, opt_state, m = step_fn(
             folded, opt_state, jnp.asarray(fb.images),
             jnp.asarray(fb.labels), rng, jnp.int32(i))
+        if kl_fn is not None and (
+                (i + 1) % args.eval_every == 0 or i == args.steps - 1):
+            kl = float(kl_fn(folded))
+            if kl < best_kl:
+                best_kl, best_step = kl, i
+                best_folded = jax.device_get(folded)
         if i % args.log_every == 0 or i == args.steps - 1:
-            print(f"step {i:5d}  loss {float(m['loss']):.4f}  "
+            extra = (f"  anchor_kl {float(m['anchor_kl']):.4f}"
+                     if "anchor_kl" in m else "")
+            print(f"step {i:5d}  loss {float(m['loss']):.4f}{extra}  "
                   f"({time.time() - t0:.0f}s)", flush=True)
     del it  # abandoning the iterator stops its producer thread
+
+    if kl_fn is not None:
+        folded = jax.tree.map(jnp.asarray, best_folded)
+        if best_step < 0:
+            print("snapshot retention: NO QAT step improved the parity "
+                  "proxy over plain PTQ — exporting the ORIGINAL "
+                  f"weights (proxy_kl {best_kl:.5f}). PTQ (the grid "
+                  "sweep in tools/quant_study.py) is this checkpoint's "
+                  "serving answer.", flush=True)
+        else:
+            print(f"snapshot retention: exporting step {best_step} "
+                  f"(proxy_kl {best_kl:.5f})", flush=True)
 
     # --- export --------------------------------------------------------
     new_vars = unfold_to_variables(folded, variables, arch=mp.arch)
