@@ -79,15 +79,12 @@ def build_parser():
                    help="scaled DCT JPEG decode on the host ingest path "
                         "(several times faster on large photos; slightly "
                         "different pixels — off for strict parity)")
-    p.add_argument("--coordinator", default=None,
-                   help="multi-process evaluation: coordinator host:port "
-                        "(jax.distributed). Run the SAME command on every "
-                        "host; each process scores sorted(files)[p::n] "
-                        "and the GCD counts merge across processes — the "
-                        "printed table covers the full directory. "
-                        "--coordinator auto on Cloud TPU VMs")
-    p.add_argument("--num_processes", type=int, default=None)
-    p.add_argument("--process_id", type=int, default=None)
+    from geoestimation_tpu.parallel.multihost import add_coordinator_args
+
+    add_coordinator_args(p, extra_help="Each process scores "
+                         "sorted(files)[p::n] and the GCD counts merge "
+                         "across processes — the printed table covers "
+                         "the full directory")
     return p
 
 
@@ -99,19 +96,25 @@ def main(argv=None):
     if args.cpu:
         import jax
         jax.config.update("jax_platforms", "cpu")
-    if args.coordinator:
-        from geoestimation_tpu.parallel.multihost import initialize
+    from geoestimation_tpu.parallel.multihost import maybe_initialize
 
-        if args.coordinator == "auto":
-            initialize()
-        else:
-            initialize(coordinator_address=args.coordinator,
-                       num_processes=args.num_processes,
-                       process_id=args.process_id)
+    maybe_initialize(args)
     import jax
     import jax.numpy as jnp
 
     proc_id, n_procs = jax.process_index(), jax.process_count()
+    if n_procs > 1 and args.precision == 8 and not args.calib_dir:
+        # per-process 'first_batch' calibration would fit scales to each
+        # process's OWN file slice — N different quantizers under one
+        # merged table. The calib_dir path reads the first
+        # --calib_images of the FULL first directory in sorted order on
+        # every process (engine._calib_dir_batches is unsliced), so all
+        # processes derive identical scales.
+        args.calib_dir = args.image_dirs[0]
+        if proc_id == 0:
+            print("int8 multi-process: defaulting --calib_dir to "
+                  f"{args.calib_dir} so every process calibrates on the "
+                  "same images", flush=True)
 
     from geoestimation_tpu.data.image_folder import load_meta_csv
     from geoestimation_tpu.eval.engine import (

@@ -25,16 +25,11 @@ def build_parser():
                    help="dump jax profiler traces here")
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend (debug)")
-    p.add_argument("--coordinator", default=None,
-                   help="multi-process training: coordinator host:port "
-                        "(jax.distributed). Run the SAME command on every "
-                        "host with its own --process_id; see "
-                        "parallel/multihost.py for the TPU-pod launch "
-                        "recipe. On Cloud TPU VMs the three flags can "
-                        "often be omitted entirely (auto-detected) by "
-                        "passing --coordinator auto")
-    p.add_argument("--num_processes", type=int, default=None)
-    p.add_argument("--process_id", type=int, default=None)
+    from geoestimation_tpu.parallel.multihost import add_coordinator_args
+
+    add_coordinator_args(p, extra_help="Run the SAME command on every "
+                         "host with its own --process_id (TPU-pod launch "
+                         "recipe in parallel/multihost.py)")
     return p
 
 
@@ -43,15 +38,9 @@ def main(argv=None):
     if args.cpu:
         import jax
         jax.config.update("jax_platforms", "cpu")
-    if args.coordinator:
-        from geoestimation_tpu.parallel.multihost import initialize
+    from geoestimation_tpu.parallel.multihost import maybe_initialize
 
-        if args.coordinator == "auto":
-            initialize()  # Cloud TPU metadata autodetection
-        else:
-            initialize(coordinator_address=args.coordinator,
-                       num_processes=args.num_processes,
-                       process_id=args.process_id)
+    maybe_initialize(args)
 
     from geoestimation_tpu.train.loop import Trainer
     from geoestimation_tpu.utils.config import load_config

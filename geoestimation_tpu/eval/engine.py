@@ -332,13 +332,23 @@ class InferenceEngine:
                 if scales is not None and self._calib_dir:
                     # --calib_dir forces recalibration UNLESS the cache
                     # proves it was calibrated on exactly this set with
-                    # these settings
+                    # these settings. 'qat'/'distill' scales stay pinned
+                    # HERE TOO: recalibrating (and then persisting over
+                    # int8_scales.json, the only copy of the trained
+                    # scales) would silently discard the QAT/distillation
+                    # result; --recalibrate is the explicit override.
                     prov = why
-                    if not (prov.get("source") == "calib_dir"
-                            and prov.get("calib_fingerprint") == fingerprint
-                            and prov.get("stat") == self._calib_stat
-                            and prov.get("headroom")
-                            == self._calib_headroom):
+                    if prov.get("source") in ("qat", "distill"):
+                        print("int8: keeping the checkpoint's trained "
+                              f"{prov['source']} scales; --calib_dir is "
+                              "ignored for trained-against scales (use "
+                              "--recalibrate to override)", flush=True)
+                    elif not (prov.get("source") == "calib_dir"
+                              and prov.get("calib_fingerprint")
+                              == fingerprint
+                              and prov.get("stat") == self._calib_stat
+                              and prov.get("headroom")
+                              == self._calib_headroom):
                         scales, why = None, ("cache not from this "
                                              "calibration set/settings")
                 if scales is None:
@@ -374,6 +384,21 @@ class InferenceEngine:
                          or n_images >= self.MIN_DISTINCT_FOR_PERSIST)
         if (path and source != "cache" and self._int8_persist
                 and varied_enough):
+            try:
+                with open(path) as f:
+                    old_src = json.load(f).get("provenance",
+                                               {}).get("source")
+            except (OSError, json.JSONDecodeError, AttributeError):
+                old_src = None
+            if old_src in ("qat", "distill"):
+                # only reachable via --recalibrate (trained scales are
+                # otherwise pinned above) — the file being replaced is
+                # the ONLY copy of the trained scales, so say so loudly
+                print(f"int8: WARNING — overwriting {old_src}-trained "
+                      f"scales at {path} with a fresh {source} "
+                      "calibration (--recalibrate); the trained scales "
+                      "have no other copy (re-run the export tool to "
+                      "regenerate)", flush=True)
             try:
                 # atomic write: concurrent starters / mid-write kills
                 # must never leave a truncated file behind

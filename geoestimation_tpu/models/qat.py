@@ -105,6 +105,23 @@ def fake_quant_act(x, scale, lo=0.0, upper_ste=False):
                      jax.lax.stop_gradient(q))
 
 
+def teacher_student_kl(t_logits, s_logits):
+    """Sum over heads of batch-mean KL(teacher ‖ student).
+
+    THE parity quantity of the QAT subsystem — the anchor term in
+    `make_qat_train_step`, the snapshot-retention proxy in
+    tools/qat_finetune.py, and the tests all call this one function so
+    the training objective and the retention decision cannot silently
+    diverge (reduction, temperature, ...)."""
+    kl = 0.0
+    for t, s in zip(t_logits, s_logits):
+        p = jax.nn.softmax(t, axis=-1)
+        kl += jnp.mean(jnp.sum(
+            p * (jax.nn.log_softmax(t, axis=-1)
+                 - jax.nn.log_softmax(s, axis=-1)), axis=-1))
+    return kl
+
+
 # ---------------------------------------------------------------------------
 # fold / unfold
 # ---------------------------------------------------------------------------
@@ -420,11 +437,7 @@ def make_qat_train_step(apply_fn, tx, crop=224, label_smoothing=0.0,
                 logits, labels, label_smoothing=label_smoothing)
             anchor = 0.0
             if anchor_weight:
-                for t, s in zip(t_logits, logits):
-                    p = jax.nn.softmax(t, axis=-1)
-                    anchor += jnp.mean(jnp.sum(
-                        p * (jax.nn.log_softmax(t, axis=-1)
-                             - jax.nn.log_softmax(s, axis=-1)), axis=-1))
+                anchor = teacher_student_kl(t_logits, logits)
                 total = total + anchor_weight * anchor
             return total, (per_head, anchor)
 

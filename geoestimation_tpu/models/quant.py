@@ -58,8 +58,11 @@ def requant_rounding_mode():
     folds into each requant's constant bias term, and at the lo=0
     post-relu sites the f32->s8 convert's truncation performs the floor
     — one fewer VPU op per element on the layer1/2 requant chains the
-    int8 roofline pins as VPU-bound (docs/PERF_NOTES.md "Int8
-    roofline"; measured ~+4% end-to-end ten-crop throughput). 'rne'
+    int8 roofline pins as VPU-bound, INCLUDING the residual-tail
+    requants (4x the elements of the mid-block sites), which the trunc
+    probe (+4.5%) never touched (docs/PERF_NOTES.md "Int8 roofline";
+    measured +12.5% end-to-end ten-crop throughput, 1524.7 -> 1714.9
+    img/s/chip vs RNE). 'rne'
     restores round-to-nearest-even. The two differ only on exact .5
     f32 ties; table deltas under the serving mode are what
     tools/quant_study.py measures. Weight quantization (offline,

@@ -64,6 +64,37 @@ def initialize(coordinator_address: Optional[str] = None,
     )
 
 
+def add_coordinator_args(parser, extra_help=""):
+    """The shared multi-process flag trio, identical across
+    classification.{train_base,inference,test} (one definition so a new
+    flag or validation lands everywhere at once)."""
+    parser.add_argument(
+        "--coordinator", default=None,
+        help="multi-process runtime: coordinator host:port (launch one "
+             "process per host with its own --process_id), or 'auto' "
+             "for Cloud TPU metadata autodetection; see "
+             f"docs/MULTIHOST.md. {extra_help}".strip())
+    parser.add_argument("--num_processes", type=int, default=None)
+    parser.add_argument("--process_id", type=int, default=None)
+
+
+def maybe_initialize(args):
+    """Wire jax.distributed from `add_coordinator_args` flags. No-op
+    without --coordinator; orphan --num_processes/--process_id (which
+    would otherwise be silently ignored) are rejected."""
+    if not args.coordinator:
+        if args.num_processes is not None or args.process_id is not None:
+            raise SystemExit(
+                "--num_processes/--process_id require --coordinator")
+        return
+    if args.coordinator == "auto":
+        initialize()  # Cloud TPU metadata autodetection
+    else:
+        initialize(coordinator_address=args.coordinator,
+                   num_processes=args.num_processes,
+                   process_id=args.process_id)
+
+
 class LockstepSlicer:
     """Wrap a batcher that yields identical GLOBAL batches on every host
     (same shards, same seed, host_count=1) and emit this process's
@@ -123,12 +154,21 @@ class StridedFeed:
 
         it = iter(self.batcher)
         while True:
+            err = None
             try:
                 b = next(it)
             except StopIteration:
                 b = None
+            except Exception as e:  # decode/IO failure on THIS host
+                # still vote have=False so the peers exit their
+                # all-gather cleanly instead of hanging to the
+                # distributed-runtime timeout; re-raise locally after
+                # the sync so the failure is visible where it happened
+                b, err = None, e
             have = multihost_utils.process_allgather(
                 np.asarray(b is not None))
+            if err is not None:
+                raise err
             if not bool(np.all(have)):
                 return
             yield b

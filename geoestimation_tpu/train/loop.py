@@ -184,12 +184,23 @@ class Trainer:
             # subsets can't deadlock a collective. Validation stays
             # lockstep: its metrics must match single-host runs exactly,
             # and a val set may have fewer shards than hosts.
+            from ..data.shards import expand_shard_patterns
             from ..parallel.multihost import StridedFeed
 
             if self.tp.batch_size % self.n_procs:
                 raise ValueError(
                     f"global batch {self.tp.batch_size} not divisible "
                     f"by {self.n_procs} processes")
+            # validate here, not at first next(): every host sees the
+            # same global shard list, so all raise together BEFORE any
+            # collective — a single-host failure mid-stream would leave
+            # the others hanging in the have-bit all-gather
+            n_shards = len(expand_shard_patterns(patterns))
+            if n_shards < self.n_procs:
+                raise ValueError(
+                    f"data_feed: strided needs >= 1 shard per process "
+                    f"({n_shards} shards, {self.n_procs} processes); "
+                    "re-shard the data or use data_feed: lockstep")
             return StridedFeed(ShardBatcher(
                 patterns,
                 batch_size=self.tp.batch_size // self.n_procs,

@@ -450,6 +450,52 @@ class TestEngineGuards:
         assert _json.load(open(scales_file))["provenance"]["source"] \
             == "qat"
 
+    def test_qat_scales_pinned_against_calib_dir(
+            self, world, tmp_path, monkeypatch):
+        """--calib_dir must NOT recalibrate (and then persist over) a
+        'qat'-sourced cache — int8_scales.json is the ONLY copy of the
+        trained scales. --recalibrate is the explicit override, and it
+        warns that the trained scales are being replaced."""
+        import json as _json
+
+        from classification.inference import main
+
+        scales_file = os.path.join(world["ckpt"], "int8_scales.json")
+        if os.path.exists(scales_file):
+            os.unlink(scales_file)
+        common = ["--checkpoint", world["ckpt"], "--image_dir",
+                  world["img_dir"], "--batch_size", "8", "--crops", "1",
+                  "--precision", "8"]
+        main(common + ["--output", str(tmp_path / "a.csv")])
+        obj = _json.load(open(scales_file))
+        obj["provenance"]["source"] = "qat"
+        with open(scales_file, "w") as f:
+            _json.dump(obj, f)
+
+        import geoestimation_tpu.models.quant as quant
+
+        real_calibrate = quant.calibrate
+        called = {"n": 0}
+
+        def counting(*a, **k):
+            called["n"] += 1
+            return real_calibrate(*a, **k)
+
+        monkeypatch.setattr(quant, "calibrate", counting)
+        main(common + ["--output", str(tmp_path / "b.csv"),
+                       "--calib_dir", world["img_dir"]])
+        assert called["n"] == 0, (
+            "--calib_dir recalibrated qat-trained scales away")
+        assert _json.load(open(scales_file))["provenance"]["source"] \
+            == "qat"
+
+        # the explicit override recalibrates AND replaces the cache
+        main(common + ["--output", str(tmp_path / "c.csv"),
+                       "--calib_dir", world["img_dir"], "--recalibrate"])
+        assert called["n"] == 1
+        assert _json.load(open(scales_file))["provenance"]["source"] \
+            == "calib_dir"
+
 
 class TestTestCLI:
     def test_accuracy_table(self, world, tmp_path, capsys):

@@ -229,3 +229,41 @@ def test_two_process_strided_feed_no_deadlock(tmp_path):
     latest = mgr.latest_step()
     mgr.close()
     assert latest == 20
+
+
+@pytest.mark.slow
+def test_strided_rejects_fewer_shards_than_processes(tmp_path):
+    """strided with 1 shard and 2 processes: every host must fail FAST
+    with the same clean error (each sees the same global shard list),
+    BEFORE any collective — a mid-stream single-host failure would
+    leave the peers hanging in the have-bit all-gather until the
+    distributed-runtime timeout."""
+    world = str(tmp_path / "world")
+    from tools.make_demo_world import main as make_world
+
+    make_world(["--output", world, "--n_train", "48", "--n_eval", "8",
+                "--image_size", "64", "--arch", "resnet14"])
+    import glob as globlib
+
+    import yaml
+
+    assert len(globlib.glob(os.path.join(world, "shards",
+                                         "*.msgpack"))) == 1
+    cfg_path = os.path.join(world, "demo.yml")
+    cfg = yaml.safe_load(open(cfg_path))
+    cfg["train_params"]["batch_size"] = 8
+    cfg["train_params"]["data_feed"] = "strided"
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f, sort_keys=False)
+
+    coord = f"127.0.0.1:{_free_port()}"
+    ckpt_dir = str(tmp_path / "ckpt")
+    p0 = _run_training(world, ckpt_dir, n_devices=4,
+                       distributed=(coord, 2, 0), max_steps=4)
+    p1 = _run_training(world, ckpt_dir, n_devices=4,
+                       distributed=(coord, 2, 1), max_steps=4)
+    out0, _ = p0.communicate(timeout=600)
+    out1, _ = p1.communicate(timeout=600)
+    assert p0.returncode != 0 and p1.returncode != 0
+    for out in (out0, out1):
+        assert "shard per process" in out, out[-4000:]

@@ -134,6 +134,47 @@ def test_two_process_eval_table_matches_single(eval_world, tmp_path):
 
 
 @pytest.mark.slow
+def test_two_process_int8_eval_consistent_scales(eval_world, tmp_path):
+    """--precision 8 multi-process: each process must calibrate on the
+    SAME images (the CLIs default --calib_dir to the image dir in
+    multi-process int8 runs; engine._calib_dir_batches is unsliced), so
+    the merged table is computed under ONE quantizer and equals the
+    single-process table with the same calibration set. Without the
+    default, each process would fit scales to its own file slice —
+    N different quantizers under one merged table."""
+    scales_file = os.path.join(eval_world["ckpt"], "int8_scales.json")
+    common = ["--checkpoint", eval_world["ckpt"],
+              "--image_dirs", eval_world["img_dir"],
+              "--meta_files", eval_world["meta"],
+              "--precision", "8",
+              "--calib_dir", eval_world["img_dir"]]
+
+    if os.path.exists(scales_file):
+        os.unlink(scales_file)
+    single_json = str(tmp_path / "single.json")
+    (p,) = (_spawn("classification.test",
+                   common + ["--json", single_json]),)
+    _communicate(p, timeout=1800)
+
+    # force both processes to DERIVE scales independently (no cache) —
+    # identical calibration stream -> identical scales -> one quantizer
+    if os.path.exists(scales_file):
+        os.unlink(scales_file)
+    coord = f"127.0.0.1:{_free_port()}"
+    merged_json = str(tmp_path / "merged.json")
+    p0 = _spawn("classification.test", common + ["--json", merged_json],
+                distributed=(coord, 2, 0))
+    p1 = _spawn("classification.test",
+                common + ["--json", str(tmp_path / "p1.json")],
+                distributed=(coord, 2, 1))
+    _communicate(p0, p1, timeout=1800)
+
+    single = json.load(open(single_json))
+    merged = json.load(open(merged_json))
+    assert merged == single, (single, merged)
+
+
+@pytest.mark.slow
 def test_two_process_inference_parts_concat_to_single(eval_world, tmp_path):
     common = ["--checkpoint", eval_world["ckpt"],
               "--image_dir", eval_world["img_dir"]]

@@ -416,14 +416,10 @@ class TestAnchoredQAT:
         t_folded = fold_variables(variables, arch="resnet14")
         t_logits = teacher_apply(t_folded, x_eval)
 
+        from geoestimation_tpu.models.qat import teacher_student_kl
+
         def eval_kl(got):
-            tot = 0.0
-            for t, s in zip(t_logits, got):
-                p = jax.nn.softmax(t, -1)
-                tot += float(jnp.mean(jnp.sum(
-                    p * (jax.nn.log_softmax(t, -1)
-                         - jax.nn.log_softmax(s, -1)), -1)))
-            return tot
+            return float(teacher_student_kl(t_logits, got))
 
         def drift(anchor_weight):
             folded = fold_variables(variables, arch="resnet14")

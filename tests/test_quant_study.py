@@ -81,6 +81,46 @@ def test_quant_study_textured_world(trained_textured_world, tmp_path):
 
 
 @pytest.mark.slow
+def test_pinned_scales_validated_like_serving(trained_textured_world,
+                                              tmp_path):
+    """--pinned_scales must validate the checkpoint's scales file
+    exactly as the serving engine does (unpack_scales: version, site
+    map, weights hash) — a stale/foreign file must fail loudly, not
+    silently certify a configuration serving would reject."""
+    world = trained_textured_world
+    from tools.qat_finetune import main as qat_main
+    from tools.quant_study import main as study_main
+
+    out = str(tmp_path / "ckpt_qat")
+    rc = qat_main(["--checkpoint", os.path.join(world, "ckpt"),
+                   "--out", out, "--steps", "1", "--lr", "0",
+                   "--calib_images", "8", "--batch_size", "4",
+                   "--eval_images", "4", "--eval_every", "1", "--cpu"])
+    assert rc == 0
+    common = [
+        "--checkpoint", out,
+        "--image_dir", os.path.join(world, "eval_images"),
+        "--meta", os.path.join(world, "eval_meta.csv"),
+        "--cpu", "--crops", "1", "--batch_size", "16",
+        "--pinned_scales", "--json", str(tmp_path / "pinned.json"),
+    ]
+    rc = study_main(common)
+    assert rc == 0
+    results = json.load(open(str(tmp_path / "pinned.json")))
+    (label,) = results["configs"]
+    assert label.startswith("pinned:qat/")
+
+    # corrupt the hash -> the study must refuse, like serving would
+    spath = os.path.join(out, "int8_scales.json")
+    obj = json.load(open(spath))
+    obj["provenance"]["weights_hash"] = "deadbeefdeadbeef"
+    with open(spath, "w") as f:
+        json.dump(obj, f)
+    with pytest.raises(SystemExit, match="rejected"):
+        study_main(common)
+
+
+@pytest.mark.slow
 def test_reproduce_tables_int8_gate(trained_textured_world, tmp_path,
                                     capsys):
     """`reproduce_tables --precision 8 --max_delta N` doubles as the

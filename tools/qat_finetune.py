@@ -249,15 +249,11 @@ def main(argv=None):
         t_ev = [jax.lax.stop_gradient(t)
                 for t in teacher_apply(teacher_folded, x_ev)]
 
+        from geoestimation_tpu.models.qat import teacher_student_kl
+
         @jax.jit
         def kl_fn(folded):
-            kl = 0.0
-            for t, s in zip(t_ev, apply_fn(folded, x_ev)):
-                p = jax.nn.softmax(t, axis=-1)
-                kl += jnp.mean(jnp.sum(
-                    p * (jax.nn.log_softmax(t, axis=-1)
-                         - jax.nn.log_softmax(s, axis=-1)), axis=-1))
-            return kl
+            return teacher_student_kl(t_ev, apply_fn(folded, x_ev))
 
         print(f"snapshot retention: {n_ev}-image parity proxy at eval "
               f"geometry, every {args.eval_every} steps", flush=True)

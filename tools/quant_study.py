@@ -191,20 +191,34 @@ def main(argv=None):
     # TTA cropping at layer L
     ft_levels = ([int(x) for x in args.feature_tta_levels.split(",")]
                  if args.feature_tta else [])
+    qnet = quantize_model(variables, mp.arch)
     if args.pinned_scales:
         # evaluate the serving configuration: the checkpoint's own
-        # pinned scales (no calibration pass at all)
+        # pinned scales (no calibration pass at all), validated exactly
+        # as the serving engine validates them (version/site-map/
+        # weights-hash via unpack_scales) — a stale or foreign-arch
+        # file must fail here, not silently certify a configuration
+        # serving would reject and recalibrate
+        from geoestimation_tpu.models.quant import (
+            unpack_scales,
+            weights_hash,
+        )
+
         scales_path = os.path.join(args.checkpoint, "int8_scales.json")
         with open(scales_path) as f:
             doc = json.load(f)
-        prov = doc.get("provenance", {})
+        pinned, prov = unpack_scales(
+            doc, mp.arch, expect_hash=weights_hash(qnet))
+        if pinned is None:
+            raise SystemExit(
+                f"--pinned_scales: {scales_path} rejected: {prov}")
         label = (f"pinned:{prov.get('source', '?')}"
                  f"/{prov.get('stat', '?')}")
         n_calib = int(prov.get("n_images", 0))
         grid = [(label, float(prov.get("headroom", 1.0)), "exact")]
         grid += [(label, float(prov.get("headroom", 1.0)),
                   f"feature{lvl}") for lvl in ft_levels]
-        scale_sets = {g: dict(doc["scales"]) for g in grid}
+        scale_sets = {g: dict(pinned) for g in grid}
         print(f"using pinned scales from {scales_path} ({label})",
               flush=True)
     else:
@@ -252,7 +266,6 @@ def main(argv=None):
                           dtype=jnp.float32)
         return fold_predict(ref_model.apply(ref_variables, x, train=False))
 
-    qnet = quantize_model(variables, mp.arch)
     dyn = build_int8_apply_dynamic(qnet, n_classes=n_classes)
 
     @jax.jit
