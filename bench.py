@@ -369,7 +369,9 @@ def main():
         # int8 batch sweep (round 3, repeatable): 80:1468 96:1507-1508
         # 104:1455 112:1522-1523 120:1451 128:1479 — b=112 is the peak
         # (+1.0% over 96); bf16 is batch-flat at 64/96 and worse at 112,
-        # so only the int8 default moves
+        # so only the int8 default moves. Re-swept round 4 under the
+        # half-up requant default (96:1720 112:1712 120:1630 128:1687):
+        # same 96-112 plateau and 120 dip — the optimum did not move.
         default_b = "112" if os.environ.get(
             "BENCH_PRECISION", "int8") == "int8" else "64"
         batch = int(os.environ.get("BENCH_BATCH", default_b))
