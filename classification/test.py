@@ -66,9 +66,12 @@ def build_parser():
                         "recalibrates, ignoring the scales cache")
     p.add_argument("--calib_images", type=int, default=64,
                    help="images drawn from --calib_dir")
-    p.add_argument("--calib_stat", default="absmax",
-                   choices=["absmax", "p999", "p9999"],
-                   help="activation-range statistic (models/quant.py)")
+    p.add_argument("--calib_stat", default="auto",
+                   choices=["auto", "absmax", "p999", "p9999"],
+                   help="activation-range statistic; 'auto' (default) "
+                        "scores absmax/p999/p9999 against the fp32 "
+                        "forward on the calibration images and ships "
+                        "the winner (models/quant.py autoselect_scales)")
     p.add_argument("--calib_headroom", type=float, default=1.0,
                    help="scale multiplier >1 trades resolution for "
                         "clipping margin")

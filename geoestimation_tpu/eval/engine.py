@@ -75,7 +75,7 @@ class InferenceEngine:
         int8_scales_path: Optional[str] = None,
         calib_dir: Optional[str] = None,
         calib_images: int = 64,
-        calib_stat: str = "absmax",
+        calib_stat: str = "auto",
         calib_headroom: float = 1.0,
         int8_persist: bool = True,
         int8_recalibrate: bool = False,
@@ -117,7 +117,15 @@ class InferenceEngine:
         written back unless int8_persist=False or the source was fewer
         than MIN_DISTINCT_FOR_PERSIST (6) distinct images (e.g. a
         padded single-image serving batch).
-        calib_stat: 'absmax' | 'p999' | 'p9999' (quant.calibrate);
+        calib_stat: 'auto' (default) | 'absmax' | 'p999' | 'p9999'.
+        'auto' derives all three candidate scales from ONE sampling
+        pass and ships the one whose int8 forward best matches the
+        fp32 forward on the calibration images (quant.autoselect_scales
+        — the round-4 studies measured the stat ranking inverting
+        between corpora, so no fixed stat is safe out of the box);
+        the picked stat is recorded as 'auto:<picked>' in the scales
+        provenance. A fixed stat forces that grid point
+        (quant.calibrate).
         calib_headroom: scale multiplier (>1 trades resolution for
         clipping margin); int8_recalibrate: ignore any cache.
         fast_decode: scaled DCT JPEG decode on the host ingest path
@@ -266,6 +274,47 @@ class InferenceEngine:
                 f"calib_dir {self._calib_dir!r}: no decodable images")
         return batches, n
 
+    def _stat_matches(self, prov_stat) -> bool:
+        """True iff a cache's provenance stat satisfies the requested
+        --calib_stat. 'auto' accepts any 'auto:<picked>' cache — the
+        pick is a deterministic function of (weights, calibration set,
+        headroom), all of which the surrounding provenance checks
+        already pin."""
+        if prov_stat == self._calib_stat:
+            return True
+        return (self._calib_stat == "auto" and isinstance(prov_stat, str)
+                and prov_stat.startswith("auto:"))
+
+    def _calibrate_batches(self, batches, n_crops=None):
+        """Calibrate on uint8 base-image batches at the requested stat.
+
+        Returns (scales, stat_for_provenance). 'auto' scores the
+        candidate stats against the fp32 forward on the same images
+        (quant.autoselect_scales) and returns the winner's scales with
+        provenance stat 'auto:<picked>'."""
+        if n_crops is None:
+            n_crops = self.n_crops
+        if self._calib_stat == "auto":
+            from ..models.quant import autoselect_scales
+
+            scales, picked, kls = autoselect_scales(
+                self.variables, batches, self._qnet,
+                arch=self.model_arch, n_classes=self._n_classes,
+                n_crops=n_crops, crop=self.crop,
+                headroom=self._calib_headroom)
+            print("int8: auto calibration picked stat=" + picked
+                  + " (parity-proxy KL "
+                  + ", ".join(f"{s}={kls[s]:.5f}" for s in kls) + ")",
+                  flush=True)
+            return scales, f"auto:{picked}"
+        from ..models.quant import calibrate
+
+        scales = calibrate(self.variables, batches, self.model_arch,
+                           n_crops=n_crops, crop=self.crop,
+                           stat=self._calib_stat,
+                           headroom=self._calib_headroom)
+        return scales, self._calib_stat
+
     # Persist first-batch scales only when calibrated on a reasonably
     # varied sample: a serving micro-batch padded from one image (or a
     # tiny directory) must not bake its scales into the cache forever.
@@ -281,7 +330,6 @@ class InferenceEngine:
 
         from ..models.quant import (
             build_int8_apply,
-            calibrate,
             pack_scales,
             unpack_scales,
         )
@@ -346,7 +394,7 @@ class InferenceEngine:
                     elif not (prov.get("source") == "calib_dir"
                               and prov.get("calib_fingerprint")
                               == fingerprint
-                              and prov.get("stat") == self._calib_stat
+                              and self._stat_matches(prov.get("stat"))
                               and prov.get("headroom")
                               == self._calib_headroom):
                         scales, why = None, ("cache not from this "
@@ -356,12 +404,11 @@ class InferenceEngine:
                           flush=True)
                 else:
                     source = "cache"
+        stat_used = (why.get("stat") if source == "cache"
+                     else self._calib_stat)
         if scales is None and self._calib_dir:
             batches, n_images = self._calib_dir_batches()
-            scales = calibrate(self.variables, batches, self.model_arch,
-                               n_crops=self.n_crops, crop=self.crop,
-                               stat=self._calib_stat,
-                               headroom=self._calib_headroom)
+            scales, stat_used = self._calibrate_batches(batches)
             source = "calib_dir"
         if scales is None:
             arr = np.asarray(images_u8)
@@ -375,10 +422,8 @@ class InferenceEngine:
                 n_crops = 1
             else:
                 n_crops = self.n_crops
-            scales = calibrate(self.variables, [arr], self.model_arch,
-                               n_crops=n_crops, crop=self.crop,
-                               stat=self._calib_stat,
-                               headroom=self._calib_headroom)
+            scales, stat_used = self._calibrate_batches([arr],
+                                                        n_crops=n_crops)
             source = "first_batch"
         varied_enough = (source == "calib_dir"  # explicit user choice
                          or n_images >= self.MIN_DISTINCT_FOR_PERSIST)
@@ -407,7 +452,7 @@ class InferenceEngine:
                     json.dump(
                         pack_scales(scales, weights_hash=self._qhash,
                                     source=source, n_images=n_images,
-                                    stat=self._calib_stat,
+                                    stat=stat_used,
                                     headroom=self._calib_headroom,
                                     calib_fingerprint=fingerprint,
                                     fast_decode=bool(self._fast_decode),
@@ -418,6 +463,7 @@ class InferenceEngine:
             except OSError:
                 pass  # read-only checkpoint dir: recalibrate next run
         self.int8_calib_source = source
+        self.int8_calib_stat = stat_used
         feature_tta = ({"crop": self.crop, "n_crops": self.n_crops,
                         "level": self._feature_tta_level}
                        if self.tta_mode == "feature" else None)

@@ -39,6 +39,7 @@ def create_cells(
     lvl_min=2,
     lvl_max=30,
     name=None,
+    verbose=False,
 ):
     """Build an adaptive partitioning from per-image coordinates.
 
@@ -48,6 +49,8 @@ def create_cells(
       img_max: split cells with more images than this (README.md:233).
       lvl_min: starting S2 level (README.md:234, default 2).
       lvl_max: maximum split depth (README.md:235, default 30).
+      verbose: per-split-round progress on stdout (the reference CLI's
+        `-v/--verbose`, README.md:228-229).
 
     Returns a `CreateCellsResult` whose partitioning's classes are sorted by
     cell id (deterministic class indexing).
@@ -65,6 +68,11 @@ def create_cells(
                                       return_counts=True)
         overfull_cell = counts > img_max
         img_overfull = overfull_cell[inv] & (levels < lvl_max)
+        if verbose:
+            print(f"round {rounds}: {len(uniq)} cells, "
+                  f"{int(overfull_cell.sum())} over img_max={img_max}, "
+                  f"splitting {int(img_overfull.sum())} images "
+                  f"(max level {int(levels.max())})", flush=True)
         if not np.any(img_overfull):
             break
         levels = np.where(img_overfull, levels + 1, levels)

@@ -58,15 +58,21 @@ from .quant import _QMAX
 def fake_quant_weight(k):
     """Per-output-channel symmetric int8 fake-quant, STE gradient.
 
-    Matches `quant._quant_weight`'s grid exactly: scale is absmax/127
-    over all but the last (output-channel) axis, zero channels get
-    scale 1. The scale is a function of the live weights but is
-    excluded from the gradient (`stop_gradient`) — the standard QAT
-    formulation; gradients flow straight through the round."""
+    Matches `quant._quant_weight`'s grid exactly: scale is
+    absmax/weight_qmax() over all but the last (output-channel) axis,
+    zero channels get scale 1 (weight_qmax() = 127 by default; fewer
+    levels under GEO_WEIGHT_BITS — the same knob serving reads, so the
+    QAT grid is bit-matched at any width). The scale is a function of
+    the live weights but is excluded from the gradient
+    (`stop_gradient`) — the standard QAT formulation; gradients flow
+    straight through the round."""
+    from .quant import weight_qmax
+
+    wq = weight_qmax()
     s = jax.lax.stop_gradient(
-        jnp.max(jnp.abs(k.reshape(-1, k.shape[-1])), axis=0) / _QMAX)
+        jnp.max(jnp.abs(k.reshape(-1, k.shape[-1])), axis=0) / wq)
     s = jnp.where(s == 0, 1.0, s)
-    q = jnp.clip(jnp.round(k / s), -_QMAX, _QMAX) * s
+    q = jnp.clip(jnp.round(k / s), -wq, wq) * s
     return k + jax.lax.stop_gradient(q - k)
 
 

@@ -87,13 +87,38 @@ def round_like_serving(y, mode=None):
     return jnp.round(y)
 
 
+def weight_qmax():
+    """Weight-grid ceiling: 2^(bits-1) - 1 with bits from
+    GEO_WEIGHT_BITS (default 8 -> 127, the shipped serving grid).
+
+    Sub-8-bit weights still ship as int8 carriers on the MXU — the grid
+    simply uses fewer levels — so every downstream path (requant
+    multipliers, scales caches, weights_hash) works unchanged; the hash
+    covers the quantized bytes, so grids at different bit widths can
+    never silently share a scales cache. The knob exists (a) to
+    CONSTRUCT genuine weight-grid PTQ failures for the QAT escalation
+    demo — at 8 bits every synthetic corpus measured rounds 3-4 has
+    negligible true weight-grid error — and (b) as the int4-weights
+    lever for future serving studies. QAT's weight fake-quant
+    (models/qat.py) reads the same knob, so training-time and serving
+    grids stay bit-matched at any width."""
+    import os
+
+    bits = int(os.environ.get("GEO_WEIGHT_BITS", "8"))
+    if not 2 <= bits <= 8:
+        raise ValueError(f"GEO_WEIGHT_BITS={bits} outside [2, 8]")
+    return float((1 << (bits - 1)) - 1)
+
+
 def _quant_weight(k):
     """Per-output-channel symmetric int8. k: (..., O) fp32 numpy.
 
-    Returns (k_q int8, s_w fp32 (O,))."""
-    s = np.max(np.abs(k.reshape(-1, k.shape[-1])), axis=0) / _QMAX
+    Returns (k_q int8, s_w fp32 (O,)). Grid ceiling: `weight_qmax()`
+    (127 by default; fewer levels under GEO_WEIGHT_BITS)."""
+    wq = weight_qmax()
+    s = np.max(np.abs(k.reshape(-1, k.shape[-1])), axis=0) / wq
     s = np.where(s == 0, 1.0, s).astype(np.float32)
-    q = np.clip(np.round(k / s), -_QMAX, _QMAX).astype(np.int8)
+    q = np.clip(np.round(k / s), -wq, wq).astype(np.int8)
     return q, s
 
 
@@ -837,6 +862,82 @@ def derive_scales(samples, stat="absmax", headroom=1.0):
         raise ValueError(f"unknown calibration stat {stat!r}")
     return {k: v / _QMAX * headroom if v > 0 else 1.0
             for k, v in vals.items()}
+
+
+AUTO_CANDIDATE_STATS = ("absmax", "p999", "p9999")
+
+
+def autoselect_scales(variables, batches_u8, qnet=None, *, arch="resnet50",
+                      n_classes=None, n_crops=10, crop=224, headroom=1.0,
+                      candidates=AUTO_CANDIDATE_STATS, samples=None,
+                      eps=1e-5):
+    """Pick the calibration stat whose int8 forward best matches the
+    fp32 forward on the calibration images themselves.
+
+    No fixed stat is safe across corpora: the round-3/4 studies
+    (docs/QUANTIZATION.md) measured the stat ranking INVERTING between
+    fixed-geometry and mixed-geometry worlds (absmax passes both
+    textured studies but fails the realistic corpus at 1.2 pt, where
+    only p999 passes). `--calib_stat auto` therefore scores each
+    candidate grid point at calibration time and ships the winner,
+    instead of shipping any fixed default the builder's own studies
+    reject somewhere.
+
+    Scoring = summed per-head KL(fp32 teacher ‖ int8 student) on the
+    calibration crops — the exact parity proxy QAT snapshot retention
+    uses (models/qat.py teacher_student_kl), so the selection metric
+    and the escalation tool's verdict metric cannot diverge.
+
+    Cost: ONE fp32 sampling pass supplies every candidate's scales
+    (calibrate_samples/derive_scales, reused via `samples` when the
+    caller already has them); ONE dynamic-scales int8 graph scores all
+    of them (build_int8_apply_dynamic). Two extra compiles total over a
+    fixed stat (the fp32 teacher + the dynamic student), both at
+    calibration-batch shape.
+
+    Returns (scales, picked_stat, {stat: mean_kl}).
+    """
+    # function-level import: qat imports quant (round_like_serving), so a
+    # module-level import here would be circular
+    from .qat import build_qat_apply, fold_variables, teacher_student_kl
+    from ..ingest.pipeline import eval_pipeline_s8
+
+    if qnet is None:
+        qnet = quantize_model(variables, arch=arch, eps=eps)
+    batches = [np.asarray(b) for b in batches_u8]
+    if samples is None:
+        samples = calibrate_samples(variables, batches, arch=arch, eps=eps,
+                                    n_crops=n_crops, crop=crop)
+    cand_scales = {s: derive_scales(samples, s, headroom)
+                   for s in candidates}
+
+    folded = fold_variables(variables, arch=arch, eps=eps)
+    teacher = jax.jit(build_qat_apply(
+        arch, cand_scales[candidates[0]],  # scales unused w/o fake_quant
+        n_classes=n_classes, fake_quant=False))
+    student = jax.jit(build_int8_apply_dynamic(qnet, n_classes=n_classes))
+    kl_fn = jax.jit(teacher_student_kl)
+    dev_scales = {s: jax.device_put(
+        {k: np.float32(v) for k, v in cand_scales[s].items()})
+        for s in candidates}
+
+    kl_sum = {s: 0.0 for s in candidates}
+    n_total = 0
+    for u8 in batches:
+        x_s8 = eval_pipeline_s8(jnp.asarray(u8), n_crops=n_crops, crop=crop)
+        t_logits = [jax.lax.stop_gradient(t)
+                    for t in teacher(folded, x_s8.astype(jnp.float32))]
+        w = int(u8.shape[0])
+        n_total += w
+        for s in candidates:
+            kl_sum[s] += w * float(kl_fn(t_logits,
+                                         student(x_s8, dev_scales[s])))
+    if n_total == 0:
+        raise ValueError("autoselect_scales() needs at least one image")
+    kls = {s: kl_sum[s] / n_total for s in candidates}
+    # deterministic: first candidate wins exact ties
+    picked = min(candidates, key=lambda s: (kls[s], candidates.index(s)))
+    return cand_scales[picked], picked, kls
 
 
 def build_int8_pipeline(variables, calib_batches_u8, arch="resnet50",

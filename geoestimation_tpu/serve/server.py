@@ -276,19 +276,44 @@ def main(argv=None):
                         "synthetic noise are NOT representative — "
                         "always provide domain images in production")
     p.add_argument("--calib_images", type=int, default=64)
-    p.add_argument("--calib_stat", default="absmax",
-                   choices=["absmax", "p999", "p9999"])
+    p.add_argument("--calib_stat", default="auto",
+                   choices=["auto", "absmax", "p999", "p9999"],
+                   help="'auto' (default) scores absmax/p999/p9999 on "
+                        "the calibration images and ships the winner")
     p.add_argument("--recalibrate", action="store_true",
                    help="ignore any cached int8_scales.json")
     p.add_argument("--fast_decode", action="store_true",
                    help="scaled DCT JPEG decode for request images and "
                         "calibration (faster host path on large photos; "
                         "slightly different pixels)")
+    p.add_argument("--shard_batch", action="store_true",
+                   help="shard each micro-batch over ALL local chips "
+                        "(data-parallel mesh) — the single-server v5e-8 "
+                        "deployment shape; --batch_size must divide "
+                        "evenly by the local chip count. Default: one "
+                        "device (run one server per chip instead for "
+                        "latency-bound fleets)")
     args = p.parse_args(argv)
     if args.cpu:
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+
+    layout = None
+    if args.shard_batch:
+        # validate BEFORE the (slow) checkpoint load: a bad batch size
+        # should fail at startup, not after minutes of loading
+        import jax
+
+        from ..parallel.mesh import make_mesh
+
+        n_local = len(jax.devices())
+        if args.batch_size % n_local:
+            p.error(f"--shard_batch: --batch_size {args.batch_size} not "
+                    f"divisible by the {n_local} local devices")
+        layout = make_mesh(n_local, 1)
+        print(f"sharding micro-batches over {n_local} local devices",
+              flush=True)
 
     import os
 
@@ -310,7 +335,8 @@ def main(argv=None):
     if args.feature_tta and args.crops == 1:
         p.error("--feature_tta needs --crops 5 or 10")
     engine = InferenceEngine(
-        config, state, n_crops=args.crops, fast=args.fast,
+        config, state, layout=layout,
+        n_crops=args.crops, fast=args.fast,
         dtype=jnp.float32 if args.precision == 32 else jnp.bfloat16,
         tta_mode=("feature" if args.feature_tta else "device"),
         feature_tta_level=args.feature_tta_level,

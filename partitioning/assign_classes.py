@@ -9,6 +9,15 @@ loader (`data/loader.load_label_csv`).
 
 from __future__ import annotations
 
+import os
+import sys
+
+# The reference documents `python partitioning/create_cells.py ...`
+# (README.md:225) — a direct-file invocation, which puts THIS directory
+# (not the repo root) on sys.path. Make the framework importable either
+# way; `python -m partitioning.create_cells` is unaffected.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import argparse
 
 import numpy as np

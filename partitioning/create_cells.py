@@ -2,11 +2,21 @@
 `partitioning/create_cells.py` (reference README.md:225-239): build an
 adaptive S2 cell partitioning from a training CSV.
 
-Flags keep the documented names: --dataset --output --img_min --img_max
---lvl_min --lvl_max --column_img_path --column_lat --column_lng.
+Flags keep the documented names: -v/--verbose --dataset --output
+--img_min --img_max --lvl_min --lvl_max --column_img_path --column_lat
+--column_lng (reference README.md:227-238).
 """
 
 from __future__ import annotations
+
+import os
+import sys
+
+# The reference documents `python partitioning/create_cells.py ...`
+# (README.md:225) — a direct-file invocation, which puts THIS directory
+# (not the repo root) on sys.path. Make the framework importable either
+# way; `python -m partitioning.create_cells` is unaffected.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import argparse
 
@@ -17,6 +27,8 @@ def build_parser():
     p = argparse.ArgumentParser(
         description="Create an adaptive S2 cell partitioning"
     )
+    p.add_argument("-v", "--verbose", action="store_true",
+                   help="verbose output (per-split-round progress)")
     p.add_argument("--dataset", required=True,
                    help="CSV with image path + lat/lng columns")
     p.add_argument("--output", required=True, help="output cell CSV")
@@ -55,6 +67,7 @@ def main(argv=None):
         lat, lng,
         img_min=args.img_min, img_max=args.img_max,
         lvl_min=args.lvl_min, lvl_max=args.lvl_max,
+        verbose=args.verbose,
     )
     result.partitioning.to_csv(args.output)
     print(

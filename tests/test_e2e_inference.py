@@ -206,14 +206,19 @@ class TestInt8Engine:
         assert "stem" in scales and all(v > 0 for v in scales.values())
         assert obj["provenance"]["source"] == "first_batch"
         assert obj["provenance"]["weights_hash"]
+        # shipped default: auto-selected stat, recorded as auto:<picked>
+        assert obj["provenance"]["stat"].startswith("auto:")
 
-        # second run must NOT calibrate (poison the calibrator)
+        # second run must NOT calibrate (poison BOTH calibration paths:
+        # the fixed-stat calibrator and the auto-selection's sampling
+        # pass)
         import geoestimation_tpu.models.quant as quant
 
         def boom(*a, **k):
-            raise AssertionError("calibrate() called despite cache")
+            raise AssertionError("calibration ran despite cache")
 
         monkeypatch.setattr(quant, "calibrate", boom)
+        monkeypatch.setattr(quant, "calibrate_samples", boom)
         main(common + ["--output", str(tmp_path / "b.csv")])
         a = pd.read_csv(tmp_path / "a.csv")
         b = pd.read_csv(tmp_path / "b.csv")
@@ -272,16 +277,20 @@ class TestInt8Engine:
         assert prov["n_images"] == 4
         assert prov["calib_fingerprint"]
 
-        # (b) same calib set -> cache reused, calibrate never called
+        # (b) same calib set -> cache reused, no calibration pass runs
+        # (auto default: the engine's auto path goes through
+        # quant.calibrate_samples; the fixed-stat path through
+        # quant.calibrate — poison both)
         import geoestimation_tpu.models.quant as quant
 
-        real_calibrate = quant.calibrate
+        real_samples = quant.calibrate_samples
 
         def boom(*a, **k):
-            raise AssertionError("calibrate() called despite valid "
+            raise AssertionError("calibration ran despite valid "
                                  "calib_dir cache")
 
         monkeypatch.setattr(quant, "calibrate", boom)
+        monkeypatch.setattr(quant, "calibrate_samples", boom)
         main(common + ["--image_dir", world["img_dir"], "--output",
                        str(tmp_path / "b.csv"),
                        "--calib_dir", world["img_dir"],
@@ -290,14 +299,15 @@ class TestInt8Engine:
         b = pd.read_csv(tmp_path / "b.csv")
         assert (a.pred_class.values == b.pred_class.values).all()
 
-        # (c) --recalibrate bypasses the cache (calibrate IS called)
+        # (c) --recalibrate bypasses the cache (a calibration pass IS
+        # run — under the auto default that is the sampling pass)
         called = {"n": 0}
 
         def counting(*a, **k):
             called["n"] += 1
-            return real_calibrate(*a, **k)
+            return real_samples(*a, **k)
 
-        monkeypatch.setattr(quant, "calibrate", counting)
+        monkeypatch.setattr(quant, "calibrate_samples", counting)
         main(common + ["--image_dir", world["img_dir"], "--output",
                        str(tmp_path / "c.csv"), "--recalibrate",
                        "--calib_dir", world["img_dir"],
@@ -384,14 +394,15 @@ class TestEngineGuards:
 
         import geoestimation_tpu.models.quant as quant
 
-        real_calibrate = quant.calibrate
+        # the auto default calibrates via the sampling pass
+        real_samples = quant.calibrate_samples
         called = {"n": 0}
 
         def counting(*a, **k):
             called["n"] += 1
-            return real_calibrate(*a, **k)
+            return real_samples(*a, **k)
 
-        monkeypatch.setattr(quant, "calibrate", counting)
+        monkeypatch.setattr(quant, "calibrate_samples", counting)
         # same pipeline: cache trusted, no calibration
         main(common + ["--output", str(tmp_path / "b.csv")])
         assert called["n"] == 0
@@ -474,14 +485,15 @@ class TestEngineGuards:
 
         import geoestimation_tpu.models.quant as quant
 
-        real_calibrate = quant.calibrate
+        # the auto default calibrates via the sampling pass
+        real_samples = quant.calibrate_samples
         called = {"n": 0}
 
         def counting(*a, **k):
             called["n"] += 1
-            return real_calibrate(*a, **k)
+            return real_samples(*a, **k)
 
-        monkeypatch.setattr(quant, "calibrate", counting)
+        monkeypatch.setattr(quant, "calibrate_samples", counting)
         main(common + ["--output", str(tmp_path / "b.csv"),
                        "--calib_dir", world["img_dir"]])
         assert called["n"] == 0, (

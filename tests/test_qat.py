@@ -85,6 +85,29 @@ class TestPrimitives:
         faked = np.asarray(fake_quant_weight(jnp.asarray(k)))
         assert np.array_equal(served, faked)
 
+    def test_weight_grid_matches_at_reduced_bits(self, monkeypatch):
+        """GEO_WEIGHT_BITS (round-5): serving and QAT grids stay
+        bit-matched at any weight width, values land on the reduced
+        grid, and the default is exactly the 8-bit/127 grid."""
+        from geoestimation_tpu.models.quant import weight_qmax
+
+        assert weight_qmax() == 127.0
+        rng = np.random.default_rng(4)
+        k = rng.normal(0, 0.2, (3, 3, 8, 16)).astype(np.float32)
+        monkeypatch.setenv("GEO_WEIGHT_BITS", "4")
+        assert weight_qmax() == 7.0
+        q, s = _quant_weight(k)
+        assert int(np.abs(q).max()) <= 7
+        # per-channel: at most 15 distinct levels used
+        for o in range(q.shape[-1]):
+            assert len(np.unique(q[..., o])) <= 15
+        served = q.astype(np.float32) * s
+        faked = np.asarray(fake_quant_weight(jnp.asarray(k)))
+        assert np.array_equal(served, faked)
+        monkeypatch.setenv("GEO_WEIGHT_BITS", "1")
+        with pytest.raises(ValueError, match="GEO_WEIGHT_BITS"):
+            weight_qmax()
+
     def test_weight_gradient_is_identity(self):
         k = jnp.asarray([[0.3, -0.7], [0.01, 0.0]], jnp.float32)
         g = jax.grad(lambda w: jnp.sum(fake_quant_weight(w) * 2.0))(k)

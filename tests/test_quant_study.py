@@ -274,3 +274,35 @@ def test_quant_study_cli_help():
          "--help"], capture_output=True, text=True, timeout=120)
     assert out.returncode == 0
     assert "--assert_budget" in out.stdout
+
+
+@pytest.mark.slow
+def test_quant_study_auto_mode(trained_textured_world, tmp_path):
+    """`--stats auto` (round-5): the shipped serving default measured
+    end to end. The artifact records which stat the parity proxy
+    picked, and the auto row's verdict is identical to that stat's own
+    row (same scales by construction)."""
+    world = trained_textured_world
+    from tools.quant_study import main as study_main
+
+    json_out = str(tmp_path / "auto_study.json")
+    rc = study_main([
+        "--checkpoint", os.path.join(world, "ckpt"),
+        "--image_dir", os.path.join(world, "eval_images"),
+        "--meta", os.path.join(world, "eval_meta.csv"),
+        "--cpu", "--crops", "1", "--batch_size", "16",
+        "--calib_images", "16", "--stats", "auto,absmax,p999,p9999",
+        "--json", json_out,
+    ])
+    assert rc == 0
+    results = json.load(open(json_out))
+    auto = results["configs"]["auto@1"]
+    picked = auto["picked_stat"]
+    assert picked in ("absmax", "p999", "p9999")
+    assert set(auto["proxy_kl"]) == {"absmax", "p999", "p9999"}
+    # the pick minimizes the recorded proxy
+    assert auto["proxy_kl"][picked] == min(auto["proxy_kl"].values())
+    picked_row = results["configs"][f"{picked}@1"]
+    assert auto["max_abs_gcd_delta_pt"] == \
+        picked_row["max_abs_gcd_delta_pt"]
+    assert auto["flip_rates"] == picked_row["flip_rates"]

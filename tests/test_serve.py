@@ -209,3 +209,54 @@ class TestInt8Serving:
         engine.predict_batch(batch)
         assert engine.int8_calib_source == "first_batch"
         assert not os.path.exists(scales_path)
+
+
+class TestShardBatch:
+    def test_sharded_engine_through_batcher_matches_unsharded(
+            self, geo_parts):
+        """`--shard_batch` (round-5): one server process spans all local
+        chips — micro-batches shard over a data-parallel mesh and the
+        predictions are identical to the single-device server's."""
+        from geoestimation_tpu.eval.engine import InferenceEngine
+        from geoestimation_tpu.parallel.mesh import make_mesh
+        from geoestimation_tpu.train.init import init_model_state
+        from geoestimation_tpu.utils.config import Config
+
+        config = Config()
+        config.model_params.partitionings.files = []
+        _, state = init_model_state(config, geo_parts, seed=0,
+                                    image_size=64)
+        plain = InferenceEngine(config, state, partitionings=geo_parts,
+                                n_crops=1)
+        sharded = InferenceEngine(config, state, partitionings=geo_parts,
+                                  n_crops=1, layout=make_mesh(8, 1))
+        imgs = [RNG.integers(0, 255, (256, 256, 3), dtype=np.uint8)
+                for _ in range(8)]
+        mb = MicroBatcher(sharded.predict_batch, batch_size=8,
+                          max_wait_ms=20, base_size=256)
+        try:
+            results = [None] * 8
+
+            def work(i):
+                results[i] = mb.submit(imgs[i], timeout=600)
+
+            threads = [threading.Thread(target=work, args=(i,))
+                       for i in range(8)]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join()
+        finally:
+            mb.close()
+        ref = plain.predict_batch(np.stack(imgs))
+        for i, out in enumerate(results):
+            assert out["hierarchy"]["class"] == int(ref["hierarchy"][0][i])
+
+    def test_cli_rejects_indivisible_batch(self, tmp_path):
+        """--shard_batch with a batch size the local device count can't
+        split must fail loudly at startup, not at the first request."""
+        from geoestimation_tpu.serve.server import main
+
+        with pytest.raises(SystemExit):
+            main(["--checkpoint", str(tmp_path / "nonexistent"),
+                  "--shard_batch", "--batch_size", "3"])

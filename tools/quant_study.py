@@ -149,6 +149,7 @@ def main(argv=None):
         eval_pipeline_s8,
     )
     from geoestimation_tpu.models.quant import (
+        autoselect_scales,
         build_int8_apply_dynamic,
         calibrate_samples,
         derive_scales,
@@ -242,7 +243,33 @@ def main(argv=None):
         grid = [(s, h, "exact") for s, h in base_grid]
         for lvl in ft_levels:
             grid += [(s, h, f"feature{lvl}") for s, h in base_grid]
-        scale_sets = {g: derive_scales(samples, g[0], g[1]) for g in grid}
+
+        # 'auto' rows measure the shipped default end to end: the same
+        # selection the serving engine runs (quant.autoselect_scales,
+        # parity-proxy KL on the calibration images) picks a stat, and
+        # the study verdicts ITS scales like any fixed grid point. The
+        # picked stat is recorded per headroom in the artifact.
+        auto_picks = {}
+
+        def scales_for(stat, h):
+            if stat != "auto":
+                return derive_scales(samples, stat, h)
+            if h not in auto_picks:
+                scales, picked, kls = autoselect_scales(
+                    variables, batches, qnet, arch=mp.arch,
+                    n_classes=n_classes, n_crops=n_crops, crop=224,
+                    headroom=h, samples=samples)
+                auto_picks[h] = {"picked": picked,
+                                 "proxy_kl": {k: float(v)
+                                              for k, v in kls.items()},
+                                 "scales": scales}
+                print(f"auto@{h:g}: picked {picked} (parity-proxy KL "
+                      + ", ".join(f"{k}={v:.5f}"
+                                  for k, v in kls.items()) + ")",
+                      flush=True)
+            return auto_picks[h]["scales"]
+
+        scale_sets = {g: scales_for(g[0], g[1]) for g in grid}
 
     # --- jitted forwards: fp32 reference + ONE dynamic int8 graph ------
     def fold_predict(logits):
@@ -431,6 +458,11 @@ def main(argv=None):
             "flip_rates": flips,
             "gcd_deltas_pt": deltas,
         }
+        if g[0] == "auto":
+            results["configs"][name]["picked_stat"] = \
+                auto_picks[g[1]]["picked"]
+            results["configs"][name]["proxy_kl"] = \
+                auto_picks[g[1]]["proxy_kl"]
     if args.json_out:
         with open(args.json_out, "w") as f:
             json.dump(results, f, indent=1, sort_keys=True)
