@@ -436,7 +436,13 @@ def main(argv=None):
         # optimization-hurt), so both are reported.
         max_degradation = max(
             0.0, -min(min(d.values()) for d in deltas.values()))
-        ok = max_delta <= args.budget
+        # inclusive budget with a float epsilon: a cell moving by
+        # EXACTLY budget pt (e.g. 5 images in 1000 = 0.500 pt vs the
+        # 0.5 budget) is "within" it; without the epsilon the binary
+        # representation (0.5000000000000004 from 100*(a-b)) turned
+        # exact-boundary PASSes into spurious FAILs (round-5 fix,
+        # caught on the realistic-world study)
+        ok = max_delta <= args.budget + 1e-9
         any_pass = any_pass or ok
         if g[2] == "exact":
             suffix = ""

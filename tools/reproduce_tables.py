@@ -187,8 +187,11 @@ def main(argv=None):
                 for t in ours[key]:
                     d = abs(100.0 * (ours[key][t] - ours32[key][t]))
                     worst = max(worst, d)
-            verdict = "PASS" if worst <= args.max_delta else "FAIL"
-            gate_ok = gate_ok and worst <= args.max_delta
+            # inclusive budget with a float epsilon (a cell moving by
+            # exactly max_delta pt is "within" it; see quant_study)
+            verdict = ("PASS" if worst <= args.max_delta + 1e-9
+                       else "FAIL")
+            gate_ok = gate_ok and worst <= args.max_delta + 1e-9
             print(f"-- int8 serving gate [{name}]: max |int8 - fp32| = "
                   f"{worst:.2f} pt vs {args.max_delta} pt budget: "
                   f"{verdict}")
