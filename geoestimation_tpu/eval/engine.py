@@ -377,6 +377,26 @@ class InferenceEngine:
                                      == self.n_crops):
                         scales, why = None, ("cache calibrated under a "
                                              "different pixel pipeline")
+                if scales is not None:
+                    # Calibration-settings provenance ALSO applies to
+                    # every cache read (round-5 review fix): a cache
+                    # recorded at a different stat/headroom must not
+                    # silently satisfy an explicit --calib_stat (or the
+                    # auto default) — otherwise the requested setting is
+                    # inert on any deployment with a pre-existing cache.
+                    # Same qat/distill exemption: trained-against scales
+                    # stay pinned on weights-hash alone.
+                    prov = why
+                    if prov.get("source") not in ("qat", "distill") \
+                            and not (self._stat_matches(prov.get("stat"))
+                                     and prov.get("headroom")
+                                     == self._calib_headroom):
+                        scales, why = None, (
+                            "cache calibrated at different settings "
+                            f"(stat={prov.get('stat')!r}, headroom="
+                            f"{prov.get('headroom')!r}; requested "
+                            f"{self._calib_stat!r}@"
+                            f"{self._calib_headroom!r})")
                 if scales is not None and self._calib_dir:
                     # --calib_dir forces recalibration UNLESS the cache
                     # proves it was calibrated on exactly this set with

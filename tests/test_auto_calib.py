@@ -200,6 +200,47 @@ class TestEngineAuto:
         assert eng3.int8_calib_source == "calib_dir"
         assert eng3.int8_calib_stat == "p999"
 
+    def test_cache_settings_checked_without_calib_dir(self, tiny,
+                                                      geo_parts,
+                                                      tmp_path):
+        """Round-5 review fix: a cache recorded at a different
+        stat/headroom must not silently satisfy the requested
+        --calib_stat even WITHOUT --calib_dir — otherwise the new auto
+        default (or any explicit stat) is inert on a deployment with a
+        pre-existing cache."""
+        from geoestimation_tpu.eval.engine import InferenceEngine
+
+        config, variables, n_classes, batches = tiny
+        state = {"params": variables["params"],
+                 "batch_stats": variables["batch_stats"]}
+        path = str(tmp_path / "scales.json")
+        images = np.concatenate(batches, axis=0)
+        kw = dict(partitionings=geo_parts, n_crops=1, crop=CROP,
+                  int8=True, int8_scales_path=path)
+
+        fixed = InferenceEngine(config, state, calib_stat="p999", **kw)
+        fixed.predict_batch(images)
+        assert json.load(open(path))["provenance"]["stat"] == "p999"
+
+        # auto request sees a p999 cache: must NOT trust it
+        auto = InferenceEngine(config, state, **kw)
+        auto.predict_batch(images)
+        assert auto.int8_calib_source == "first_batch"
+        assert auto.int8_calib_stat.startswith("auto:")
+        assert json.load(open(path))["provenance"]["stat"] \
+            == auto.int8_calib_stat
+
+        # matching fixed request trusts its own cache; a different
+        # headroom does not
+        fixed2 = InferenceEngine(config, state, calib_stat="p999", **kw)
+        fixed2.predict_batch(images)
+        assert fixed2.int8_calib_source == "first_batch"  # auto cache
+        hr = InferenceEngine(config, state, calib_stat="p999",
+                             calib_headroom=1.05, **kw)
+        hr.predict_batch(images)
+        assert hr.int8_calib_source == "first_batch"
+        assert json.load(open(path))["provenance"]["headroom"] == 1.05
+
     def test_fixed_stat_still_forces(self, tiny, geo_parts, tmp_path):
         from geoestimation_tpu.eval.engine import InferenceEngine
 

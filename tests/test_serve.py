@@ -254,9 +254,17 @@ class TestShardBatch:
 
     def test_cli_rejects_indivisible_batch(self, tmp_path):
         """--shard_batch with a batch size the local device count can't
-        split must fail loudly at startup, not at the first request."""
+        split must fail loudly at startup, not at the first request.
+        The batch size is derived from the live device count (n+1 is
+        never divisible by n for n>1) rather than hard-coding the
+        8-device conftest assumption."""
+        import jax
+
         from geoestimation_tpu.serve.server import main
 
+        n = len(jax.devices())
+        if n == 1:
+            pytest.skip("every batch divides by 1 local device")
         with pytest.raises(SystemExit):
             main(["--checkpoint", str(tmp_path / "nonexistent"),
-                  "--shard_batch", "--batch_size", "3"])
+                  "--shard_batch", "--batch_size", str(n + 1)])

@@ -168,10 +168,15 @@ def collectives(args):
             n_elem = (int(np.prod([int(d) for d in dims.split(",")]))
                       if dims else 1)
             total_bytes += n_elem * sizes.get(dt_, 4)
-        if re.search(r"/bn\w*/", ln):
-            b = buckets["bn_stats"]
-        elif total_bytes >= 1 << 18:
+        # size check FIRST: a fused >=256 KB payload is the gradient
+        # psum even when its combiner metadata points at a bn op (BN
+        # gamma/beta grads ride the fused gradient reduction). The bn
+        # pattern must also catch the projection shortcut's
+        # 'downsample_bn' scope, hence no leading slash anchor.
+        if total_bytes >= 1 << 18:
             b = buckets["grad_psum"]
+        elif re.search(r"/\w*bn\w*/", ln):
+            b = buckets["bn_stats"]
         else:
             b = buckets["other_small"]
         b["n"] += 1
