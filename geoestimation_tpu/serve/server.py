@@ -280,6 +280,9 @@ def main(argv=None):
                    choices=["auto", "absmax", "p999", "p9999"],
                    help="'auto' (default) scores absmax/p999/p9999 on "
                         "the calibration images and ships the winner")
+    p.add_argument("--calib_headroom", type=float, default=1.0,
+                   help="scale multiplier >1 trades resolution for "
+                        "clipping margin (same knob as the eval CLIs)")
     p.add_argument("--recalibrate", action="store_true",
                    help="ignore any cached int8_scales.json")
     p.add_argument("--fast_decode", action="store_true",
@@ -345,6 +348,7 @@ def main(argv=None):
         calib_dir=args.calib_dir,
         calib_images=args.calib_images,
         calib_stat=args.calib_stat,
+        calib_headroom=args.calib_headroom,
         int8_persist=not synthetic_calib,
         int8_recalibrate=args.recalibrate,
         fast_decode=args.fast_decode,
